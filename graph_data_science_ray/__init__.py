@@ -1,0 +1,23 @@
+"""graph_data_science_ray — a Ray-Data-native link-graph analytics engine.
+
+A brand-new engine (NOT a port) with the query/data-processing
+capabilities of the reference `frank-zsy/graph-data-science`
+(Neo4j OpenGDS ~2.1-dev): graph construction from Parquet tables of
+source-code repositories, iterative PageRank / WCC / Label Propagation /
+Triangle Count expressed as gather-scatter supersteps over hash-partitioned
+CSR edge blocks held by stateful Ray actor pools, plus the relational /
+training-data operators (dedup, similarity search, text analysis) a
+100 TB pipeline needs.
+
+Layout:
+  sources/    graph construction: repo-table synthesis, edge derivation,
+              graph build (vertices/edges/degrees/partitioned blocks), fixtures
+  state/      CSR block layout, checkpoint/lineage manifests
+  stages/     the superstep engine (PartitionWorker actors, VertexProgram)
+  pipelines/  algorithms: pagerank, wcc, labelprop, triangles, degree, ...
+  functions/  scalar/vector kernels: similarity, scalers, text, dedup, ann
+  oracle.py   single-process NumPy oracle implementing the reference
+              semantics verbatim (test cross-check only)
+"""
+
+__version__ = "0.1.0"
