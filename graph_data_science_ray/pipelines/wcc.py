@@ -1,0 +1,122 @@
+"""Weakly Connected Components as hash-min label propagation supersteps.
+
+The reference uses a shared-memory wait-free union-find with union-by-min
+(core/.../paged/dss/HugeAtomicDisjointSetStruct.java:110-189,
+algo/src/main/java/org/neo4j/gds/wcc/Wcc.java) so the final component id of
+a vertex is the MINIMUM dense vid in its component. Distributed, we reach
+the identical fixpoint by min-label propagation over undirected edges
+(messages flow both directions), accelerated by a per-partition local
+union pass at init (each worker collapses the subgraph it can see — the
+distributed analogue of Wcc.java's sampling optimization; cf. the
+"CC in MapReduce in logarithmic rounds" two-phase scheme): label(v)
+converges to min-vid-in-component, exactly the reference output.
+
+Weight threshold: edges with weight > threshold participate
+(Wcc.java:305-310); applied when building the graph view.
+Seeded (incremental) runs disable the local pre-union (a worker cannot
+see remote seed values) and converge to min-seed per component.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..stages.superstep import PartitionedGraph, SuperstepEngine, SuperstepResult
+from ..stages.vertex_program import MIN, StepOutput, VertexProgram, WorkerContext
+
+_I64MAX = np.iinfo(np.int64).max
+
+
+def _local_min_labels(n_local: int, gids: np.ndarray,
+                      u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Min global id reachable from each owned vertex through locally
+    visible edges — vectorized hooking + path compression (Shiloach-
+    Vishkin style, O(log) rounds) over the local subgraph."""
+    if len(u) == 0:
+        return gids.copy()
+    nodes, inv = np.unique(np.concatenate([u, v, gids]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u): len(u) + len(v)]
+    own = inv[len(u) + len(v):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = parent.copy()
+        pu, pv = parent[ui], parent[vi]
+        hi = np.maximum(pu, pv)
+        lo = np.minimum(pu, pv)
+        np.minimum.at(parent, hi, lo)
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        if np.array_equal(parent, old):
+            break
+    return nodes[parent[own]]
+
+
+class WCCProgram(VertexProgram):
+    reducer = MIN
+    flow = "both"
+    msg_dtype = "int64"
+    state_keys = ("label",)
+
+    def __init__(self, seeds: np.ndarray | None = None, local_preunion: bool = True):
+        self.seeds = seeds
+        self.local_preunion = local_preunion and seeds is None
+
+    def init_state(self, ctx: WorkerContext) -> dict[str, np.ndarray]:
+        gids = ctx.global_ids()
+        if self.seeds is not None:
+            label = np.asarray(self.seeds, dtype=np.int64)[gids]
+        elif self.local_preunion:
+            u, v = ctx.local_edges_global()
+            label = _local_min_labels(ctx.n_local, gids, u, v)
+        else:
+            label = gids.copy()
+        return {"label": label}
+
+    def compute(self, ctx, state, msgs, has_msg, active, iteration) -> StepOutput:
+        label = state["label"]
+        if iteration == 0:
+            send_mask = np.ones(ctx.n_local, dtype=bool)
+            send_value = label
+            halt = np.ones(ctx.n_local, dtype=bool)
+            changed = ctx.n_local
+        else:
+            new_label = np.where(active & has_msg, np.minimum(label, msgs), label)
+            changed_mask = new_label < label
+            state["label"] = new_label
+            send_mask = changed_mask
+            send_value = new_label
+            halt = active.copy()
+            changed = int(changed_mask.sum())
+        return StepOutput(send_mask=send_mask, send_value=send_value,
+                          halt_mask=halt, changed=changed)
+
+
+def wcc(
+    graph: PartitionedGraph,
+    threshold: float | None = None,
+    seeds: np.ndarray | None = None,
+    max_iterations: int = 100,
+    num_parts: int | None = None,
+    engine: SuperstepEngine | None = None,
+    **engine_kwargs,
+) -> SuperstepResult:
+    """Run WCC; result state has columns (vid, label). threshold keeps
+    only edges with weight > threshold (requires a weighted graph)."""
+    if threshold is not None:
+        if not graph.weighted or graph.kind != "arrays":
+            raise ValueError("threshold currently requires an in-memory weighted graph")
+        keep = graph.weight > threshold
+        graph = PartitionedGraph.from_arrays(graph.n, graph.src[keep],
+                                             graph.dst[keep], None)
+        engine = None  # filtered view needs its own block layout
+    eng = engine or SuperstepEngine(graph, num_parts=num_parts)
+    prog = WCCProgram(seeds=seeds)
+    try:
+        return eng.run(prog, max_iterations=max_iterations, collect=("label",),
+                       **engine_kwargs)
+    finally:
+        if engine is None:
+            eng.shutdown()

@@ -1,0 +1,640 @@
+"""The superstep engine — Ray-native BSP over partitioned CSR blocks.
+
+Distributed analogue of the reference's Pregel executor
+(pregel/src/main/java/org/neo4j/gds/beta/pregel/Pregel.java:154-195):
+
+  - One ``PartitionWorker`` actor per partition holds its CSR flow blocks
+    and per-vertex NumPy state columns for the whole run (topology is
+    loaded once and never re-shuffled; only messages move).
+  - One superstep = every worker (in parallel): merge incoming reduced
+    message blocks → compute (vectorized program callback) → scatter
+    outgoing messages with a per-destination-partition partial reduce
+    (sender-side combiner) → return one payload object per destination.
+    Payload refs are routed worker→worker through the object store; the
+    driver only sees small per-partition stats (the convergence barrier,
+    ≙ Pregel's masterCompute position).
+  - Convergence (messages mode): no messages sent AND all vertices voted
+    halt, checked after the iteration (PartitionedComputer.java:77-84);
+    ``ran_iterations`` is the 0-based index of the converged iteration,
+    matching PregelResult.ranIterations.
+  - Every ``checkpoint_interval`` supersteps each worker writes its state
+    (+ the send decision) to ``checkpoint_dir/iter=K/part=P.parquet`` and
+    the driver commits a lineage manifest with per-partition metrics; a
+    resumed run re-emits iteration K's messages from the checkpoint and
+    continues at K+1 (the reference has no mid-algorithm checkpoint —
+    this is new design required by the north rule).
+
+Scale notes: per-superstep traffic is O(P · V) for dense all-active
+phases (each sender emits at most one partially-reduced value per
+destination vertex — never the O(E) edge-expanded message table) and
+O(active frontier) once deltas sparsify (payloads switch to sparse
+index/value pairs below 25% density). Skewed high out-degree vertices
+cost only local scatter time on their owner; skewed in-degree vertices
+receive at most P partial values.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..state.blocks import (
+    FlowBlock,
+    n_max_local,
+    num_local,
+    partition_edges,
+    ranges_to_indices,
+)
+from .vertex_program import MIN, SUM, VOTE, StepOutput, VertexProgram, WorkerContext
+
+_SPARSE_DENSITY = 0.25
+
+
+# --------------------------------------------------------------------------
+# Graph handle
+# --------------------------------------------------------------------------
+
+@dataclass
+class PartitionedGraph:
+    """Driver-side handle to a partitioned graph (edges by ownership)."""
+
+    n: int
+    num_edges: int
+    weighted: bool
+    kind: str                      # 'arrays' | 'parquet'
+    src: np.ndarray | None = None  # arrays kind (driver-resident, small)
+    dst: np.ndarray | None = None
+    weight: np.ndarray | None = None
+    path: str | None = None        # parquet kind: graph dir (see sources.graph_build)
+    num_parts_layout: int | None = None  # parquet kind: partition count on disk
+
+    @staticmethod
+    def from_arrays(n, src, dst, weight=None) -> "PartitionedGraph":
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        return PartitionedGraph(
+            n=int(n), num_edges=len(src), weighted=weight is not None,
+            kind="arrays", src=src, dst=dst,
+            weight=None if weight is None else np.asarray(weight, np.float64),
+        )
+
+    @staticmethod
+    def from_manifest(path: str) -> "PartitionedGraph":
+        with open(os.path.join(path, "manifest.json")) as f:
+            m = json.load(f)
+        return PartitionedGraph(
+            n=m["num_vertices"], num_edges=m["num_edges"],
+            weighted=m.get("weighted", False), kind="parquet", path=path,
+            num_parts_layout=m["num_parts"],
+        )
+
+
+# --------------------------------------------------------------------------
+# Worker actor
+# --------------------------------------------------------------------------
+
+@ray.remote
+class PartitionWorker:
+    """Holds one partition's CSR blocks + vertex state across supersteps."""
+
+    def __init__(self, part: int, num_parts: int, n_global: int):
+        self.part = part
+        self.P = num_parts
+        self.n = n_global
+        self.n_local = num_local(n_global, part, num_parts)
+        self.n_max = n_max_local(n_global, num_parts)
+        self.blocks: dict[str, FlowBlock | None] = {}
+        self.program: VertexProgram | None = None
+        self.ctx: WorkerContext | None = None
+        self.state: dict[str, np.ndarray] = {}
+        self.halted: np.ndarray | None = None
+        self.last_send: StepOutput | None = None
+
+    # -- loading ------------------------------------------------------------
+
+    def load_blocks_arrays(self, flow_specs: dict) -> dict:
+        """flow_specs: {'out': {'own','tgt','weight'} or ref, 'in': ...}."""
+        counts = {}
+        for flow, spec in flow_specs.items():
+            if spec is None:
+                continue
+            if isinstance(spec, ray.ObjectRef):
+                spec = ray.get(spec)
+            self.blocks[flow] = FlowBlock.build(
+                spec["own"], spec["tgt"], spec.get("weight"),
+                self.P, self.n, self.n_local,
+            )
+            counts[flow] = self.blocks[flow].num_edges
+        return counts
+
+    def load_blocks_parquet(self, path: str, flows: tuple[str, ...],
+                            weighted: bool) -> dict:
+        """Read this partition's edge files from the graph dir layout
+        (<path>/<flow>/part=<p>.parquet with columns src,dst[,weight])."""
+        counts = {}
+        for flow in flows:
+            fp = os.path.join(path, flow, f"part={self.part}.parquet")
+            if not os.path.exists(fp):
+                own = tgt = np.empty(0, dtype=np.int64)
+                w = None
+            else:
+                cols = ["src", "dst"] + (["weight"] if weighted else [])
+                t = pq.read_table(fp, columns=cols)
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                w = t["weight"].to_numpy(zero_copy_only=False) if weighted else None
+                own, tgt = (src, dst) if flow == "out" else (dst, src)
+            self.blocks[flow] = FlowBlock.build(own, tgt, w, self.P, self.n,
+                                                self.n_local)
+            counts[flow] = self.blocks[flow].num_edges
+        return counts
+
+    # -- program lifecycle ----------------------------------------------------
+
+    def setup(self, program: VertexProgram, params: dict) -> None:
+        self.program = program
+        self.ctx = WorkerContext(self.part, self.P, self.n, self.n_local,
+                                 params, self.blocks)
+        self.state = program.init_state(self.ctx)
+        self.halted = np.zeros(self.n_local, dtype=bool)
+        self.last_send = None
+
+    # -- superstep ------------------------------------------------------------
+
+    def superstep(self, iteration: int, incoming):
+        t0 = time.perf_counter()
+        prog = self.program
+        if iteration == 0:
+            msgs, has_msg = None, np.zeros(self.n_local, dtype=bool)
+        else:
+            msgs, has_msg = self._merge(incoming)
+        t1 = time.perf_counter()
+
+        if iteration == 0:
+            active = np.ones(self.n_local, dtype=bool)
+        else:
+            active = has_msg | ~self.halted
+        self.halted &= ~active  # vote bits cleared for computed nodes
+        out = prog.compute(self.ctx, self.state, msgs, has_msg, active, iteration)
+        if out.halt_mask is not None:
+            self.halted |= out.halt_mask
+        self.last_send = out
+        t2 = time.perf_counter()
+
+        payloads, sent_edges = self._emit(out)
+        t3 = time.perf_counter()
+        stats = {
+            "part": self.part,
+            "active": int(active.sum()),
+            "sent_edges": sent_edges,
+            "changed": out.changed,
+            "all_halted": bool(self.halted.all()),
+            "t_merge": t1 - t0, "t_compute": t2 - t1, "t_scatter": t3 - t2,
+        }
+        return (*payloads, stats)
+
+    def reemit(self, incoming_unused=None):
+        """Re-scatter the checkpointed send decision (resume path)."""
+        payloads, sent_edges = self._emit(self.last_send)
+        stats = {"part": self.part, "sent_edges": sent_edges, "changed": 0,
+                 "active": 0, "all_halted": bool(self.halted.all()),
+                 "t_merge": 0.0, "t_compute": 0.0, "t_scatter": 0.0}
+        return (*payloads, stats)
+
+    # -- messaging ------------------------------------------------------------
+
+    def _merge(self, incoming):
+        prog = self.program
+        refs = [r for r in incoming if r is not None]
+        payloads = [p for p in ray.get(refs) if p is not None] if refs else []
+        if prog.reducer == VOTE:
+            return self._merge_votes(payloads)
+        identity = prog.identity()
+        dtype = np.dtype(prog.msg_dtype)
+        if prog.reducer == SUM:
+            acc = np.zeros(self.n_local, dtype=dtype)
+            for p in payloads:
+                if p[0] == "d":
+                    acc += p[1]
+                else:
+                    np.add.at(acc, p[1], p[2])
+            has = acc != identity
+        else:  # MIN
+            acc = np.full(self.n_local, identity, dtype=dtype)
+            for p in payloads:
+                if p[0] == "d":
+                    np.minimum(acc, p[1], out=acc)
+                else:
+                    np.minimum.at(acc, p[1], p[2])
+            has = acc != identity
+        return acc, has
+
+    def _merge_votes(self, payloads):
+        """Combine (idx, label, weight-sum) vote triples from all senders,
+        then per-vertex argmax with smaller-label tie-break
+        (≙ ComputeStepConsumer.tallyVotes, algo/.../labelpropagation)."""
+        if not payloads:
+            z = np.zeros(self.n_local, dtype=np.int64)
+            return z, np.zeros(self.n_local, dtype=bool)
+        idx = np.concatenate([p[1] for p in payloads])
+        lbl = np.concatenate([p[2] for p in payloads])
+        wgt = np.concatenate([p[3] for p in payloads])
+        order = np.lexsort((lbl, idx))
+        idx, lbl, wgt = idx[order], lbl[order], wgt[order]
+        grp = np.flatnonzero(np.r_[True, (idx[1:] != idx[:-1]) | (lbl[1:] != lbl[:-1])])
+        idx, lbl = idx[grp], lbl[grp]
+        wgt = np.add.reduceat(wgt, grp)
+        # winner per idx: max weight, tie -> smaller label (lbl already asc)
+        order = np.lexsort((lbl, -wgt, idx))
+        idx, lbl = idx[order], lbl[order]
+        first = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        winners_idx, winners_lbl = idx[first], lbl[first]
+        msgs = np.zeros(self.n_local, dtype=np.int64)
+        msgs[winners_idx] = winners_lbl
+        has = np.zeros(self.n_local, dtype=bool)
+        has[winners_idx] = True
+        return msgs, has
+
+    def _flow_blocks(self):
+        flow = self.program.flow
+        names = ("out", "in") if flow == "both" else (flow,)
+        return [self.blocks[f] for f in names if self.blocks.get(f) is not None]
+
+    def _select_edges(self, blk: FlowBlock, send_mask: np.ndarray):
+        """Edge indices of the active senders. Returns None for 'all edges,
+        mask-filter inline' (cheaper when most vertices are active)."""
+        frac = send_mask.mean() if self.n_local else 0.0
+        if frac > 0.5:
+            return None
+        av = np.flatnonzero(send_mask)
+        return ranges_to_indices(blk.vtx_offsets[av], blk.vtx_offsets[av + 1])
+
+    def _emit(self, out: StepOutput):
+        prog = self.program
+        P, n_max = self.P, self.n_max
+        if prog.reducer == VOTE:
+            return self._emit_votes(out)
+        identity = prog.identity()
+        dtype = np.dtype(prog.msg_dtype)
+        acc = None
+        sent_edges = 0
+        for blk in self._flow_blocks():
+            if blk.num_edges == 0:
+                continue
+            eidx = self._select_edges(blk, out.send_mask)
+            if eidx is None:
+                mask_e = out.send_mask[blk.gather_local]
+                if out.target_range is not None:
+                    lo, hi = out.target_range
+                    mask_e &= (blk.tgt_global >= lo) & (blk.tgt_global < hi)
+                keys = blk.combined_key[mask_e]
+                vals = out.send_value[blk.gather_local[mask_e]].astype(dtype, copy=True)
+                if prog.use_edge_weights and blk.weight is not None:
+                    vals *= blk.weight[mask_e]
+            else:
+                if out.target_range is not None and len(eidx):
+                    lo, hi = out.target_range
+                    tg = blk.tgt_global[eidx]
+                    eidx = eidx[(tg >= lo) & (tg < hi)]
+                if len(eidx) == 0:
+                    continue
+                keys = blk.combined_key[eidx]
+                vals = out.send_value[blk.gather_local[eidx]].astype(dtype, copy=True)
+                if prog.use_edge_weights and blk.weight is not None:
+                    vals *= blk.weight[eidx]
+            sent_edges += len(keys)
+            if len(keys) == 0:
+                continue
+            if prog.reducer == SUM:
+                a = np.bincount(keys, weights=vals, minlength=P * n_max)
+                acc = a if acc is None else acc + a
+            else:  # MIN
+                if acc is None:
+                    acc = np.full(P * n_max, identity, dtype=dtype)
+                np.minimum.at(acc, keys, vals)
+        payloads = [None] * P
+        if acc is not None:
+            if prog.reducer == SUM and acc.dtype != dtype:
+                acc = acc.astype(dtype)
+            for q in range(P):
+                seg = acc[q * n_max: q * n_max + num_local(self.n, q, P)]
+                nz = np.flatnonzero(seg != identity)
+                if len(nz) == 0:
+                    continue
+                if len(nz) < _SPARSE_DENSITY * len(seg):
+                    payloads[q] = ("s", nz, seg[nz])
+                else:
+                    payloads[q] = ("d", np.ascontiguousarray(seg))
+        return payloads, sent_edges
+
+    def _emit_votes(self, out: StepOutput):
+        P, n_max = self.P, self.n_max
+        parts_k, parts_l, parts_w = [], [], []
+        sent_edges = 0
+        for blk in self._flow_blocks():
+            if blk.num_edges == 0:
+                continue
+            eidx = self._select_edges(blk, out.send_mask)
+            if eidx is None:
+                mask_e = out.send_mask[blk.gather_local]
+                if out.target_range is not None:
+                    lo, hi = out.target_range
+                    mask_e &= (blk.tgt_global >= lo) & (blk.tgt_global < hi)
+                gat = blk.gather_local[mask_e]
+                keys = blk.combined_key[mask_e]
+                ew = blk.weight[mask_e] if blk.weight is not None else None
+            else:
+                if out.target_range is not None and len(eidx):
+                    lo, hi = out.target_range
+                    tg = blk.tgt_global[eidx]
+                    eidx = eidx[(tg >= lo) & (tg < hi)]
+                if len(eidx) == 0:
+                    continue
+                gat = blk.gather_local[eidx]
+                keys = blk.combined_key[eidx]
+                ew = blk.weight[eidx] if blk.weight is not None else None
+            if len(keys) == 0:
+                continue
+            lbls = out.send_value[gat].astype(np.int64)
+            w = np.ones(len(gat)) if ew is None else ew.astype(np.float64)
+            if out.vote_weight is not None:
+                w = w * out.vote_weight[gat]
+            sent_edges += len(keys)
+            # partial reduce by (key, label) — the sender-side combiner
+            order = np.lexsort((lbls, keys))
+            keys, lbls, w = keys[order], lbls[order], w[order]
+            grp = np.flatnonzero(
+                np.r_[True, (keys[1:] != keys[:-1]) | (lbls[1:] != lbls[:-1])])
+            parts_k.append(keys[grp])
+            parts_l.append(lbls[grp])
+            parts_w.append(np.add.reduceat(w, grp))
+        payloads = [None] * P
+        if parts_k:
+            keys = np.concatenate(parts_k)
+            lbls = np.concatenate(parts_l)
+            w = np.concatenate(parts_w)
+            if len(parts_k) > 1:
+                order = np.lexsort((lbls, keys))
+                keys, lbls, w = keys[order], lbls[order], w[order]
+            bounds = np.searchsorted(keys, np.arange(P + 1) * n_max)
+            for q in range(P):
+                lo, hi = bounds[q], bounds[q + 1]
+                if lo == hi:
+                    continue
+                payloads[q] = ("v", keys[lo:hi] - q * n_max, lbls[lo:hi], w[lo:hi])
+        return payloads, sent_edges
+
+    # -- checkpoint / results --------------------------------------------------
+
+    def checkpoint(self, iteration: int, ckpt_dir: str) -> dict:
+        os.makedirs(os.path.join(ckpt_dir, f"iter={iteration}"), exist_ok=True)
+        cols: dict[str, pa.Array] = {}
+        for k, v in self.state.items():
+            cols[k] = pa.array(v)
+        cols["__halted"] = pa.array(self.halted)
+        out = self.last_send
+        cols["__send_mask"] = pa.array(out.send_mask)
+        cols["__send_value"] = pa.array(out.send_value)
+        if out.vote_weight is not None:
+            cols["__vote_weight"] = pa.array(out.vote_weight)
+        table = pa.table(cols)
+        if out.target_range is not None:
+            table = table.replace_schema_metadata(
+                {"target_range": json.dumps(list(out.target_range))})
+        path = os.path.join(ckpt_dir, f"iter={iteration}", f"part={self.part}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        return {"part": self.part, "rows": self.n_local, "path": path}
+
+    def load_checkpoint(self, iteration: int, ckpt_dir: str) -> bool:
+        path = os.path.join(ckpt_dir, f"iter={iteration}", f"part={self.part}.parquet")
+        t = pq.read_table(path)
+        names = set(t.column_names)
+        self.state = {
+            k: t[k].to_numpy(zero_copy_only=False).copy()
+            for k in names if not k.startswith("__")
+        }
+        self.halted = t["__halted"].to_numpy(zero_copy_only=False).copy()
+        meta = t.schema.metadata or {}
+        tr = meta.get(b"target_range")
+        self.last_send = StepOutput(
+            send_mask=t["__send_mask"].to_numpy(zero_copy_only=False).copy(),
+            send_value=t["__send_value"].to_numpy(zero_copy_only=False).copy(),
+            vote_weight=(t["__vote_weight"].to_numpy(zero_copy_only=False).copy()
+                         if "__vote_weight" in names else None),
+            target_range=tuple(json.loads(tr)) if tr else None,
+        )
+        return True
+
+    def get_state_table(self, keys: tuple[str, ...]) -> pa.Table:
+        cols = {"vid": pa.array(
+            np.arange(self.n_local, dtype=np.int64) * self.P + self.part)}
+        for k in keys:
+            cols[k] = pa.array(self.state[k])
+        return pa.table(cols)
+
+
+# --------------------------------------------------------------------------
+# Engine
+# --------------------------------------------------------------------------
+
+@dataclass
+class SuperstepResult:
+    ran_iterations: int
+    converged: bool
+    metrics: list[dict]
+    state_refs: list | None = None
+    state_keys: tuple[str, ...] = ()
+
+    def to_dataset(self) -> "ray.data.Dataset":
+        import ray.data as rd
+        return rd.from_arrow_refs(self.state_refs)
+
+    def to_pandas(self):
+        import pandas as pd
+        tables = ray.get(self.state_refs)
+        return pa.concat_tables(tables).to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+class SuperstepEngine:
+    """Creates and feeds a PartitionWorker pool for one graph.
+
+    Reusable across programs (the expensive part — loading and CSR-building
+    the blocks — happens once per flow)."""
+
+    def __init__(self, graph: PartitionedGraph, num_parts: int | None = None):
+        self.graph = graph
+        if graph.kind == "parquet":
+            self.P = graph.num_parts_layout
+        else:
+            self.P = num_parts or self._default_parts()
+        cpus = ray.cluster_resources().get("CPU", self.P)
+        num_cpus = max(0.01, min(1.0, cpus / max(1, self.P)))
+        self.workers = [
+            PartitionWorker.options(num_cpus=num_cpus).remote(p, self.P, graph.n)
+            for p in range(self.P)
+        ]
+        self._loaded_flows: set[str] = set()
+
+    @staticmethod
+    def _default_parts() -> int:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def _ensure_blocks(self, flow: str) -> None:
+        flows = ("out", "in") if flow == "both" else (flow,)
+        missing = [f for f in flows if f not in self._loaded_flows]
+        if not missing:
+            return
+        g = self.graph
+        if g.kind == "arrays":
+            split = partition_edges(g.src, g.dst, g.weight, self.P,
+                                    flows=tuple(missing))
+            tasks = []
+            for p, w in enumerate(self.workers):
+                spec = {f: ray.put(split[f][p]) for f in missing}
+                tasks.append(w.load_blocks_arrays.remote(spec))
+            ray.get(tasks)
+        else:
+            ray.get([
+                w.load_blocks_parquet.remote(g.path, tuple(missing), g.weighted)
+                for w in self.workers
+            ])
+        self._loaded_flows.update(missing)
+
+    def run(
+        self,
+        program: VertexProgram,
+        max_iterations: int,
+        params: dict | None = None,
+        convergence: str = "messages",   # 'messages' (Pregel) | 'changed' (LP)
+        convergence_window: int = 1,     # 'changed': zero changes over this many consecutive iterations
+        checkpoint_dir: str | None = None,
+        checkpoint_interval: int = 0,
+        resume: bool = False,
+        collect: tuple[str, ...] | None = None,
+    ) -> SuperstepResult:
+        params = params or {}
+        self._ensure_blocks(program.flow)
+        P = self.P
+        ray.get([w.setup.remote(program, params) for w in self.workers])
+
+        metrics: list[dict] = []
+        start_iter = 0
+        out_refs: list[list] = [[None] * P for _ in range(P)]
+
+        if resume and checkpoint_dir:
+            last = latest_complete_iteration(checkpoint_dir)
+            if last is not None:
+                ray.get([w.load_checkpoint.remote(last, checkpoint_dir)
+                         for w in self.workers])
+                rets = [w.reemit.options(num_returns=P + 1).remote()
+                        for w in self.workers]
+                out_refs = [list(r[:-1]) for r in rets]
+                ray.get([r[-1] for r in rets])
+                start_iter = last + 1
+
+        converged = False
+        ran = max_iterations
+        for it in range(start_iter, max_iterations):
+            t0 = time.perf_counter()
+            rets = []
+            for p, w in enumerate(self.workers):
+                incoming = [out_refs[q][p] for q in range(P)]
+                rets.append(
+                    w.superstep.options(num_returns=P + 1).remote(it, incoming))
+            stats = ray.get([r[-1] for r in rets])
+            out_refs = [list(r[:-1]) for r in rets]
+            wall = time.perf_counter() - t0
+            total_sent = sum(s["sent_edges"] for s in stats)
+            total_changed = sum(s["changed"] for s in stats)
+            all_halted = all(s["all_halted"] for s in stats)
+            metrics.append({
+                "iteration": it,
+                "wall_sec": wall,
+                "sent_edges": total_sent,
+                "changed": total_changed,
+                "active": sum(s["active"] for s in stats),
+                "edges_per_sec": total_sent / wall if wall > 0 else 0.0,
+                "parts": stats,
+            })
+            if checkpoint_interval and checkpoint_dir and (
+                    it % checkpoint_interval == 0 or it == max_iterations - 1):
+                self._write_checkpoint(it, checkpoint_dir, metrics[-1])
+            if convergence == "messages" and total_sent == 0 and all_halted:
+                converged, ran = True, it
+                break
+            if convergence == "changed" and it >= convergence_window:
+                recent = metrics[-convergence_window:]
+                if sum(m["changed"] for m in recent) == 0:
+                    converged, ran = True, it
+                    break
+
+        keys = collect if collect is not None else program.state_keys
+        state_refs = [w.get_state_table.remote(keys) for w in self.workers]
+        # Ensure the tables exist before the engine (and its actors) can be
+        # shut down — the driver owns the refs, they outlive the actors.
+        ray.wait(state_refs, num_returns=len(state_refs))
+        return SuperstepResult(
+            ran_iterations=ran, converged=converged, metrics=metrics,
+            state_refs=state_refs, state_keys=keys,
+        )
+
+    def _write_checkpoint(self, it: int, ckpt_dir: str, metric: dict) -> None:
+        infos = ray.get([w.checkpoint.remote(it, ckpt_dir) for w in self.workers])
+        manifest = {
+            "iteration": it,
+            "num_parts": self.P,
+            "num_vertices": self.graph.n,
+            "parts": infos,
+            "metrics": {k: v for k, v in metric.items() if k != "parts"},
+            "complete": True,
+        }
+        path = os.path.join(ckpt_dir, f"iter={it}", "manifest.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            try:
+                ray.kill(w)
+            except Exception:
+                pass
+        self.workers = []
+
+    def __del__(self):
+        # Actors hold (fractional) CPU reservations; leaking them deadlocks
+        # later actor pools. Best-effort cleanup when the handle is dropped.
+        try:
+            self.shutdown()
+        except Exception:
+            pass
+
+
+def latest_complete_iteration(ckpt_dir: str) -> int | None:
+    """Largest iteration K with a committed manifest (lineage) file."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith("iter="):
+            continue
+        mp = os.path.join(ckpt_dir, name, "manifest.json")
+        if os.path.exists(mp):
+            try:
+                with open(mp) as f:
+                    if json.load(f).get("complete"):
+                        it = int(name.split("=", 1)[1])
+                        best = it if best is None or it > best else best
+            except (ValueError, json.JSONDecodeError):
+                continue
+    return best

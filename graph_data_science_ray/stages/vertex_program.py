@@ -1,0 +1,135 @@
+"""VertexProgram protocol — the user contract of the superstep engine.
+
+The Ray-native analogue of the reference's PregelComputation
+(pregel/src/main/java/org/neo4j/gds/beta/pregel/PregelComputation.java:38-117),
+re-expressed over whole per-partition NumPy state columns instead of
+per-vertex callbacks:
+
+  - ``init_state``  ≙ PregelComputation.init (runs once per partition)
+  - ``compute``     ≙ one batch of PregelComputation.compute calls for every
+                      active owned vertex (vectorized)
+  - ``reducer``     ≙ Reducer.Sum / Reducer.Min (+ the 'vote' extension used
+                      by label propagation)
+  - vote-to-halt    ≙ the returned halt mask; a vertex is reactivated when a
+                      non-identity message arrives (ReducingMessenger
+                      semantics: reduced value == identity ⇒ "no message")
+
+Message flow direction:
+  'out'  — gather owned src state, scatter along edges to dst (PageRank push)
+  'in'   — gather owned dst state, scatter against edges to src (LP pull dual)
+  'both' — scatter along both (WCC: edges treated undirected)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SUM = "sum"
+MIN = "min"
+VOTE = "vote"
+
+REDUCER_IDENTITY = {
+    (SUM, "float64"): 0.0,
+    (MIN, "float64"): np.inf,
+    (MIN, "int64"): np.iinfo(np.int64).max,
+}
+
+
+@dataclass
+class StepOutput:
+    """What a program's compute() hands back to the engine for one superstep."""
+
+    send_mask: np.ndarray            # bool [n_local] — which owned vertices emit
+    send_value: np.ndarray           # [n_local] scalar message per emitting vertex
+    halt_mask: np.ndarray | None = None   # bool [n_local] — voteToHalt (subset of active)
+    changed: int = 0                 # program-specific change count (LP convergence)
+    vote_weight: np.ndarray | None = None  # [n_local] per-sender vote weight (vote reducer)
+    target_range: tuple[int, int] | None = None  # only scatter to global vids in [lo, hi)
+
+
+class WorkerContext:
+    """Per-partition view handed to VertexProgram methods inside the worker."""
+
+    def __init__(self, part: int, num_parts: int, n_global: int, n_local: int,
+                 params: dict, blocks: dict):
+        self.part = part
+        self.num_parts = num_parts
+        self.n_global = n_global
+        self.n_local = n_local
+        self.params = params
+        self._blocks = blocks
+        self._deg_cache: dict = {}
+
+    def global_ids(self) -> np.ndarray:
+        """Dense vids owned by this partition, in local-index order."""
+        return np.arange(self.n_local, dtype=np.int64) * self.num_parts + self.part
+
+    def degree(self, flow: str = "out", weighted: bool = False) -> np.ndarray:
+        """Per-owned-vertex degree from the loaded flow block.
+
+        flow='out' → out-degree (requires the OUT block), flow='in' →
+        in-degree, flow='both' → sum over both blocks (undirected degree of
+        the symmetrized multigraph).
+        """
+        key = (flow, weighted)
+        if key in self._deg_cache:
+            return self._deg_cache[key]
+        flows = ["out", "in"] if flow == "both" else [flow]
+        deg = np.zeros(self.n_local, dtype=np.float64 if weighted else np.int64)
+        for f in flows:
+            blk = self._blocks.get(f)
+            if blk is None:
+                raise ValueError(f"degree({flow}) needs the {f} block loaded")
+            if weighted:
+                w = blk.weight if blk.weight is not None else np.ones(blk.num_edges)
+                deg += np.bincount(blk.gather_local, weights=w, minlength=self.n_local)
+            else:
+                deg += np.bincount(blk.gather_local, minlength=self.n_local)
+        self._deg_cache[key] = deg
+        return deg
+
+    def local_edges_global(self) -> tuple[np.ndarray, np.ndarray]:
+        """All edges visible to this partition as (owned_global, remote_global).
+
+        Union over loaded blocks; used e.g. by WCC's local pre-union pass.
+        """
+        owns, tgts = [], []
+        for f, blk in self._blocks.items():
+            if blk is None or blk.num_edges == 0:
+                continue
+            owns.append(blk.gather_local * self.num_parts + self.part)
+            tgt_part, tgt_local = np.divmod(blk.combined_key, blk.n_max)
+            tgts.append(tgt_local * self.num_parts + tgt_part)
+        if not owns:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        return np.concatenate(owns), np.concatenate(tgts)
+
+
+class VertexProgram:
+    """Subclass and override. All arrays are per-local-vertex unless noted."""
+
+    reducer: str = SUM
+    flow: str = "out"
+    msg_dtype: str = "float64"
+    use_edge_weights: bool = False   # multiply each scalar message by the edge weight
+    state_keys: tuple[str, ...] = ()  # columns persisted in checkpoints/results
+
+    def identity(self):
+        return REDUCER_IDENTITY.get((self.reducer, self.msg_dtype))
+
+    def init_state(self, ctx: WorkerContext) -> dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def compute(
+        self,
+        ctx: WorkerContext,
+        state: dict[str, np.ndarray],
+        msgs: np.ndarray | None,
+        has_msg: np.ndarray,
+        active: np.ndarray,
+        iteration: int,
+    ) -> StepOutput:
+        raise NotImplementedError
