@@ -140,7 +140,9 @@ class PartitionWorker:
         (<path>/<flow>/part=<p>.parquet with columns src,dst[,weight])."""
         counts = {}
         for flow in flows:
-            fp = os.path.join(path, flow, f"part={self.part}.parquet")
+            fp = os.path.join(path, flow, f"part={self.part}")
+            if not os.path.isdir(fp):
+                fp = fp + ".parquet"
             if not os.path.exists(fp):
                 own = tgt = np.empty(0, dtype=np.int64)
                 w = None

@@ -1,0 +1,98 @@
+"""Repo-table synthesis → edge derivation → graph build, end-to-end,
+including the per-row content sha256 invariant (north rule)."""
+
+import glob
+import hashlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from graph_data_science_ray import oracle as orc
+from graph_data_science_ray.sources.edge_derivation import file_digests
+from graph_data_science_ray.sources.repo_source import repo_name, write_repo_table
+from graph_data_science_ray.pipelines.graph_pipeline import build_graph_from_repos
+from graph_data_science_ray.pipelines.pagerank import pagerank
+from graph_data_science_ray.pipelines.wcc import wcc
+
+
+N_REPOS = 300
+
+
+@pytest.fixture(scope="module")
+def repo_fixture(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("repo_graph")
+    path, tsrc, tdst = write_repo_table(str(base / "repos.parquet"), N_REPOS,
+                                        seed=42)
+    graph = build_graph_from_repos(path, str(base / "graph"), num_parts=4)
+    # generator indices -> sorted-name vids
+    names = sorted(repo_name(i) for i in range(N_REPOS))
+    vid_of = {nm: i for i, nm in enumerate(names)}
+    idx2vid = np.array([vid_of[repo_name(i)] for i in range(N_REPOS)])
+    return path, graph, idx2vid[tsrc], idx2vid[tdst]
+
+
+def test_vertices_and_edge_set(repo_fixture):
+    path, graph, esrc, edst = repo_fixture
+    assert graph.n == N_REPOS
+    parts = []
+    for f in glob.glob(f"{graph.path}/out/part=*/*.parquet"):
+        t = pq.read_table(f)
+        parts.append(np.stack([t["src"].to_numpy(), t["dst"].to_numpy()], axis=1))
+    built = np.unique(np.concatenate(parts), axis=0)
+    want = np.unique(np.stack([esrc, edst], axis=1), axis=0)
+    assert np.array_equal(built, want)
+    # out and in layouts carry the same edge multiset
+    parts = []
+    for f in glob.glob(f"{graph.path}/in/part=*/*.parquet"):
+        t = pq.read_table(f)
+        parts.append(np.stack([t["src"].to_numpy(), t["dst"].to_numpy()], axis=1))
+    built_in = np.unique(np.concatenate(parts), axis=0)
+    assert np.array_equal(built_in, want)
+
+
+def test_sha256_invariant(repo_fixture):
+    """Pipeline-computed sha256 per row equals independent hashing of the
+    source table (content survives the derivation end-to-end)."""
+    path, graph, _, _ = repo_fixture
+    src_table = pq.read_table(path)
+    expected = {}
+    for repo, p, commit, content in zip(
+            src_table["repo"].to_pylist(), src_table["path"].to_pylist(),
+            src_table["commit"].to_pylist(), src_table["content"].to_pylist()):
+        expected[(repo, p, commit)] = hashlib.sha256(content.encode()).hexdigest()
+    got = file_digests(rd.read_parquet(path)).to_pandas()
+    assert len(got) == len(expected)
+    for row in got.itertuples():
+        assert expected[(row.repo, row.path, row.commit)] == row.sha256
+    # and the aggregate digest is recorded in the manifest lineage
+    import json, os
+    with open(os.path.join(graph.path, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["lineage"]["content_sha256_xor"]
+
+
+def test_pagerank_on_built_graph(repo_fixture):
+    _, graph, esrc, edst = repo_fixture
+    expected, _, _ = orc.pagerank(N_REPOS, esrc, edst, max_iterations=20)
+    res = pagerank(graph, max_iterations=20)
+    assert np.allclose(res.to_pandas()["rank"].to_numpy(), expected, atol=1e-9)
+
+
+def test_wcc_on_built_graph(repo_fixture):
+    _, graph, esrc, edst = repo_fixture
+    expected = orc.wcc(N_REPOS, esrc, edst)
+    res = wcc(graph)
+    assert np.array_equal(res.to_pandas()["label"].to_numpy(), expected)
+
+
+def test_count_aggregation(ray_session, tmp_path):
+    """aggregation='count' gives parallel-import multiplicity as weight."""
+    path, _, _ = write_repo_table(str(tmp_path / "repos.parquet"), 50, seed=1)
+    g = build_graph_from_repos(path, str(tmp_path / "graph"), num_parts=2,
+                               aggregation="count")
+    assert g.weighted
+    t = pq.read_table(glob.glob(f"{g.path}/out/part=*/*.parquet")[0])
+    assert "weight" in t.column_names
+    assert (t["weight"].to_numpy() >= 1.0).all()
