@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+entry(): flagship pipeline on sf0.001 — derive the supplier co-supply
+graph from lineitem, run PageRank + WCC on the superstep engine, return
+the joined per-supplier result.
+
+queries()/oracle_sql(): one entry per implemented operator/pipeline
+(SURVEY.md §2 + training-data ops); the driver compares each Ray result
+against its DuckDB oracle at sf=0.01.
 """
 
 from __future__ import annotations
@@ -18,27 +17,34 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMALL = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import numpy as np
+    import pyarrow as pa
+
+    from graph_data_science_ray.entry_queries import _co_supply_graph
+    from graph_data_science_ray.pipelines.pagerank import pagerank
+    from graph_data_science_ray.pipelines.wcc import wcc
+
+    suppkeys, graph, _, _ = _co_supply_graph(SF_SMALL)
+    ranks = pagerank(graph, tolerance=0.0, max_iterations=20).to_pandas()
+    comps = wcc(graph).to_pandas()
+    merged = ranks.merge(comps, on="vid")
+    merged = merged[merged["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": merged["vid"].to_numpy(dtype=np.int64),
+        "rank": merged["rank"].to_numpy(),
+        "component": merged["label"].to_numpy(dtype=np.int64),
+    })
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from graph_data_science_ray.entry_queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graph_data_science_ray.entry_queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

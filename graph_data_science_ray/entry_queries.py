@@ -1,0 +1,435 @@
+"""Driver-contract queries over the testdata tables.
+
+Each query has a Ray-Data-native implementation here and a matching ANSI
+SQL oracle (``ORACLE_SQL``) the driver runs on DuckDB; column names and
+rounding are kept identical on both sides so the order-insensitive
+value-hash comparison passes.
+
+Graph queries derive a supplier co-supply graph from ``lineitem``:
+undirected edge (s1, s2) iff both supply some common part (s1 < s2
+canonical) — the SQL-expressible stand-in for the repo-import edge
+derivation, so PageRank / WCC / triangles can be checked against
+recursive/multi-join SQL on the same input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .pipelines.labelprop import label_propagation
+from .pipelines.pagerank import pagerank
+from .pipelines.triangles import _pairs_within_groups, triangle_count
+from .pipelines.wcc import wcc
+from .stages.superstep import PartitionedGraph
+
+_ROUND = 6
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Supplier co-supply graph
+# ---------------------------------------------------------------------------
+
+def _pair_kernel(group: pd.DataFrame) -> pd.DataFrame:
+    part = group["l_partkey"].to_numpy()
+    supp = group["l_suppkey"].to_numpy()
+    order = np.lexsort((supp, part))
+    part, supp = part[order], supp[order]
+    change = np.flatnonzero(np.r_[part[1:] != part[:-1], True]) + 1
+    group_end = np.repeat(change, np.diff(np.r_[0, change]))
+    li, ri = _pairs_within_groups(group_end)
+    if len(li) == 0:
+        return pd.DataFrame({"src": np.empty(0, np.int64),
+                             "dst": np.empty(0, np.int64)})
+    pairs = np.unique(np.stack([supp[li], supp[ri]], axis=1), axis=0)
+    return pd.DataFrame({"src": pairs[:, 0], "dst": pairs[:, 1]})
+
+
+def co_supply_edges_ds(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Distinct (src < dst) supplier pairs sharing a part — Ray pipeline:
+    distinct (part, supplier) → bucket by part → vectorized within-part
+    pair expansion → global dedup."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    distinct_ps = (li.groupby(["l_partkey", "l_suppkey"]).count()
+                   .select_columns(["l_partkey", "l_suppkey"]))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["l_partkey"].to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    pairs = (distinct_ps.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(_pair_kernel, batch_format="pandas"))
+    return (pairs.groupby(["src", "dst"]).count()
+            .select_columns(["src", "dst"]))
+
+
+_graph_cache: dict = {}
+
+
+def _co_supply_graph(sf_dir: str):
+    """(suppkeys sorted array, PartitionedGraph over vid=s_suppkey,
+    undirected edge arrays u<v). Cached per sf_dir within a session."""
+    if sf_dir in _graph_cache:
+        return _graph_cache[sf_dir]
+    edges = co_supply_edges_ds(sf_dir).to_pandas()
+    u = edges["src"].to_numpy(dtype=np.int64)
+    v = edges["dst"].to_numpy(dtype=np.int64)
+    supp = _read(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
+    suppkeys = np.sort(supp["s_suppkey"].to_numpy(dtype=np.int64))
+    n = int(suppkeys.max()) + 1 if len(suppkeys) else 0
+    # symmetrized directed edge list (each undirected edge both ways)
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    graph = PartitionedGraph.from_arrays(n, src, dst)
+    out = (suppkeys, graph, u, v)
+    _graph_cache[sf_dir] = out
+    return out
+
+
+def q_co_supply_edges(sf_dir: str):
+    return co_supply_edges_ds(sf_dir)
+
+
+def q_degree_centrality(sf_dir: str):
+    suppkeys, graph, u, v = _co_supply_graph(sf_dir)
+    deg = np.bincount(u, minlength=graph.n) + np.bincount(v, minlength=graph.n)
+    return pa.table({"s_suppkey": suppkeys,
+                     "degree": deg[suppkeys].astype(np.int64)})
+
+
+def q_pagerank(sf_dir: str):
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    res = pagerank(graph, tolerance=0.0, max_iterations=20)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(dtype=np.int64),
+        "rank": np.round(df["rank"].to_numpy(), _ROUND),
+    })
+
+
+def q_wcc(sf_dir: str):
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    res = wcc(graph)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(dtype=np.int64),
+        "component": df["label"].to_numpy(dtype=np.int64),
+    })
+
+
+def q_label_propagation(sf_dir: str):
+    """No SQL oracle (iterative vote semantics) — rows-only check."""
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    res = label_propagation(graph, max_iterations=10)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(dtype=np.int64),
+        "community": df["label"].to_numpy(dtype=np.int64),
+    })
+
+
+def q_triangle_count(sf_dir: str):
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    per_node, _total = triangle_count(graph)
+    return pa.table({"s_suppkey": suppkeys,
+                     "triangles": per_node[suppkeys].astype(np.int64)})
+
+
+def q_local_clustering(sf_dir: str):
+    suppkeys, graph, u, v = _co_supply_graph(sf_dir)
+    per_node, _ = triangle_count(graph)
+    deg = np.bincount(u, minlength=graph.n) + np.bincount(v, minlength=graph.n)
+    d = deg.astype(np.float64)
+    denom = d * (d - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = 2.0 * per_node / denom
+    c = np.where((per_node < 0) | (denom <= 0), 0.0, c)
+    return pa.table({"s_suppkey": suppkeys,
+                     "lcc": np.round(c[suppkeys], _ROUND)})
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = (li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Count(alias_name="count_order"))
+           .to_pandas())
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["sum_disc_price"] = out["sum_disc_price"].round(2)
+    out["count_order"] = out["count_order"].astype(np.int64)
+    return out
+
+
+def q_top_customers(sf_dir: str):
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    rev = (orders.groupby("o_custkey")
+           .aggregate(Sum("o_totalprice", alias_name="revenue")))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    df = rev.to_pandas().merge(cust, left_on="o_custkey", right_on="c_custkey")
+    df = df.sort_values(["revenue", "c_custkey"],
+                        ascending=[False, True]).head(10)
+    return pa.table({
+        "c_custkey": df["c_custkey"].to_numpy(dtype=np.int64),
+        "c_name": df["c_name"].tolist(),
+        "revenue": np.round(df["revenue"].to_numpy(), 2),
+    })
+
+
+def q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        # unit-safe epoch seconds (the ts column is timestamp[us])
+        hour = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "hour_epoch": hour, "value": df["value"]})
+
+    out = (ev.map_batches(derive, batch_format="pandas")
+           .groupby(["event_type", "hour_epoch"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(_ROUND)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Documents / text
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    """Exact duplicate groups by full text: keeper = min doc_id."""
+    from ray.data.aggregate import Count, Min
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_text(t: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(s.encode()).hexdigest()
+                for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "h": pa.array(shas, type=pa.string())})
+
+    out = (docs.map_batches(hash_text, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("h")
+           .aggregate(Min("doc_id", alias_name="doc_id"),
+                      Count(alias_name="dup_count"))
+           .select_columns(["doc_id", "dup_count"])
+           .to_pandas())
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["dup_count"] = out["dup_count"].astype(np.int64)
+    return out
+
+
+def q_token_counts(sf_dir: str):
+    import re
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ws = re.compile(r"\s+")
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = [len(ws.split(s.strip())) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n, type=pa.int64())})
+
+    return docs.map_batches(count_tokens, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_char_classes(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def classes(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_chars": s.str.len().astype(np.int64),
+            "n_digits": s.str.count(r"[0-9]").astype(np.int64),
+            "n_spaces": s.str.count(" ").astype(np.int64),
+        })
+
+    return docs.map_batches(classes, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — column names/rounding mirror the Ray side
+# ---------------------------------------------------------------------------
+
+_CO_SUPPLY_SQL = """
+co_edges AS (
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+),
+co_sym AS (
+    SELECT src, dst FROM co_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM co_edges
+)
+"""
+
+
+def _pagerank_sql(iterations: int = 20, damping: float = 0.85) -> str:
+    alpha = 1.0 - damping
+    parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
+             "deg AS (SELECT src, COUNT(*) AS outdeg FROM co_sym GROUP BY src),",
+             "nodes AS (SELECT s_suppkey AS vid FROM supplier),",
+             f"it0 AS (SELECT vid, {alpha} AS rank FROM nodes)"]
+    for k in range(1, iterations):
+        parts.append(f""",
+it{k} AS (
+    SELECT n.vid, {alpha} + {damping} * COALESCE(c.s, 0) AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS vid, SUM(p.rank / d.outdeg) AS s
+        FROM co_sym e
+        JOIN it{k - 1} p ON p.vid = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) c ON c.vid = n.vid
+)""")
+    parts.append(f"""
+SELECT vid AS s_suppkey, ROUND(rank, {_ROUND}) AS rank FROM it{iterations - 1}
+ORDER BY s_suppkey""")
+    return "\n".join(parts)
+
+
+ORACLE_SQL = {
+    "co_supply_edges": f"WITH {_CO_SUPPLY_SQL.strip()} "
+                       "SELECT src, dst FROM co_edges ORDER BY src, dst",
+    "degree_centrality": f"""
+WITH {_CO_SUPPLY_SQL.strip()},
+deg AS (SELECT src AS k, COUNT(*) AS d FROM co_sym GROUP BY src)
+SELECT s.s_suppkey, COALESCE(deg.d, 0) AS degree
+FROM supplier s LEFT JOIN deg ON deg.k = s.s_suppkey
+ORDER BY s.s_suppkey""",
+    "pagerank": _pagerank_sql(),
+    "wcc": f"""
+WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
+reach(v, r) AS (
+    SELECT s_suppkey, s_suppkey FROM supplier
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN co_sym e ON e.src = reach.v
+)
+SELECT v AS s_suppkey, MIN(r) AS component FROM reach GROUP BY v
+ORDER BY s_suppkey""",
+    "triangle_count": f"""
+WITH {_CO_SUPPLY_SQL.strip()},
+tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM co_edges e1
+    JOIN co_edges e2 ON e2.src = e1.dst
+    JOIN co_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT v, COUNT(*) AS t FROM corners GROUP BY v)
+SELECT s.s_suppkey, COALESCE(cnt.t, 0) AS triangles
+FROM supplier s LEFT JOIN cnt ON cnt.v = s.s_suppkey
+ORDER BY s.s_suppkey""",
+    "local_clustering": f"""
+WITH {_CO_SUPPLY_SQL.strip()},
+tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM co_edges e1
+    JOIN co_edges e2 ON e2.src = e1.dst
+    JOIN co_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT v, COUNT(*) AS t FROM corners GROUP BY v),
+deg AS (SELECT src AS k, COUNT(*) AS d FROM co_sym GROUP BY src)
+SELECT s.s_suppkey,
+       ROUND(CASE WHEN COALESCE(deg.d, 0) < 2 THEN 0.0
+                  ELSE 2.0 * COALESCE(cnt.t, 0) / (deg.d * (deg.d - 1.0))
+             END, {_ROUND}) AS lcc
+FROM supplier s
+LEFT JOIN cnt ON cnt.v = s.s_suppkey
+LEFT JOIN deg ON deg.k = s.s_suppkey
+ORDER BY s.s_suppkey""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+    "top_customers": """
+SELECT c.c_custkey, c.c_name, ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY SUM(o.o_totalprice) DESC, c.c_custkey
+LIMIT 10""",
+    "events_hourly": """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "exact_dedup": """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text ORDER BY doc_id""",
+    "token_counts": r"""
+SELECT doc_id,
+       CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+FROM documents ORDER BY doc_id""",
+    "char_classes": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM documents ORDER BY doc_id""",
+}
+
+
+QUERIES = {
+    "co_supply_edges": q_co_supply_edges,
+    "degree_centrality": q_degree_centrality,
+    "pagerank": q_pagerank,
+    "wcc": q_wcc,
+    "label_propagation": q_label_propagation,
+    "triangle_count": q_triangle_count,
+    "local_clustering": q_local_clustering,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_hourly": q_events_hourly,
+    "exact_dedup": q_exact_dedup,
+    "token_counts": q_token_counts,
+    "char_classes": q_char_classes,
+}
