@@ -42,10 +42,11 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 def _pair_kernel(group: pd.DataFrame) -> pd.DataFrame:
-    part = group["l_partkey"].to_numpy()
-    supp = group["l_suppkey"].to_numpy()
-    order = np.lexsort((supp, part))
-    part, supp = part[order], supp[order]
+    """Within one part-bucket: distinct (part, supplier), then all
+    supplier pairs per part (s1 < s2), partially dedup'd."""
+    ps = np.unique(np.stack([group["l_partkey"].to_numpy(),
+                             group["l_suppkey"].to_numpy()], axis=1), axis=0)
+    part, supp = ps[:, 0], ps[:, 1]
     change = np.flatnonzero(np.r_[part[1:] != part[:-1], True]) + 1
     group_end = np.repeat(change, np.diff(np.r_[0, change]))
     li, ri = _pairs_within_groups(group_end)
@@ -56,22 +57,20 @@ def _pair_kernel(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"src": pairs[:, 0], "dst": pairs[:, 1]})
 
 
-def co_supply_edges_ds(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+def co_supply_edges_ds(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     """Distinct (src < dst) supplier pairs sharing a part — Ray pipeline:
-    distinct (part, supplier) → bucket by part → vectorized within-part
-    pair expansion → global dedup."""
+    bucket by part → per-bucket vectorized distinct + pair expansion →
+    bucketed global dedup (stages.shuffle.distinct_rows)."""
+    from .stages.shuffle import distinct_rows
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-    distinct_ps = (li.groupby(["l_partkey", "l_suppkey"]).count()
-                   .select_columns(["l_partkey", "l_suppkey"]))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = t["l_partkey"].to_numpy(zero_copy_only=False) % num_buckets
         return t.append_column("bucket", pa.array(b.astype(np.int64)))
 
-    pairs = (distinct_ps.map_batches(add_bucket, batch_format="pyarrow")
+    pairs = (li.map_batches(add_bucket, batch_format="pyarrow")
              .groupby("bucket").map_groups(_pair_kernel, batch_format="pandas"))
-    return (pairs.groupby(["src", "dst"]).count()
-            .select_columns(["src", "dst"]))
+    return distinct_rows(pairs, ["src", "dst"])
 
 
 _graph_cache: dict = {}

@@ -122,11 +122,11 @@ def triangle_count(
         keep = pc.not_equal(u, v)
         return pa.table({"u": pc.filter(u, keep), "v": pc.filter(v, keep)})
 
-    distinct = (
-        edges.map_batches(canonical, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["u", "v"]).count()
-        .select_columns(["u", "v"])
-    )
+    from ..stages.shuffle import distinct_rows
+    distinct = distinct_rows(
+        edges.map_batches(canonical, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["u", "v"])
 
     # degree of the simple undirected graph (streamed partial bincounts)
     deg = np.zeros(n, dtype=np.int64)

@@ -79,24 +79,28 @@ def build_graph(
 
     int_edges = edges_ds.map_batches(encode, batch_format="pyarrow",
                                      zero_copy_batch=True)
-    # parallel-edge aggregation (reference Aggregation at load time)
-    grouped = int_edges.groupby(["src", "dst"]).count()
+    # parallel-edge aggregation (reference Aggregation at load time) via
+    # bucketed distinct (stages.shuffle — Ray's native groupby is
+    # per-group-cost-bound and unusable at edge cardinality)
+    from ..stages.shuffle import distinct_rows
     if aggregation == "count":
         weighted = True
+        grouped = distinct_rows(int_edges, ["src", "dst"], count_alias="mult")
 
         def finish(t: pa.Table) -> pa.Table:
             return pa.table({
                 "src": t["src"], "dst": t["dst"],
-                "weight": t["count()"].cast(pa.float64()),
+                "weight": t["mult"].cast(pa.float64()),
             })
     else:
         weighted = False
+        grouped = distinct_rows(int_edges, ["src", "dst"])
 
         def finish(t: pa.Table) -> pa.Table:
             return pa.table({"src": t["src"], "dst": t["dst"]})
 
     # pin the deduplicated edge set so the two layout writes + count don't
-    # re-run the groupby (small relative to the raw input; spills if large)
+    # re-run the shuffle (small relative to the raw input; spills if large)
     dedup = grouped.map_batches(finish, batch_format="pyarrow").materialize()
 
     for flow, key in (("out", "src"), ("in", "dst")):
