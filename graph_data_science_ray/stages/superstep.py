@@ -54,7 +54,8 @@ from ..state.blocks import (
 )
 from .vertex_program import MIN, SUM, VOTE, StepOutput, VertexProgram, WorkerContext
 
-_SPARSE_DENSITY = 0.25
+# dense segment (8B/slot) beats sparse (16B/entry) above half density
+_SPARSE_DENSITY = 0.5
 
 
 # --------------------------------------------------------------------------
@@ -94,6 +95,70 @@ class PartitionedGraph:
             weighted=m.get("weighted", False), kind="parquet", path=path,
             num_parts_layout=m["num_parts"],
         )
+
+
+# --------------------------------------------------------------------------
+# Message bundles
+# --------------------------------------------------------------------------
+# One plasma object per sender per superstep, packing all P destination
+# segments into a handful of contiguous arrays (deserializing P² separate
+# numpy arrays costs ~15µs each — packing cuts restores to O(P)):
+#   kinds: int8[P]   0=none 1=dense 2=sparse 3=votes
+#   voffs: int64[P+1] offsets into vals;  ioffs: offsets into idx
+#   vals:  float64/int64 — dense segment or sparse/vote values
+#   idx:   int64 — sparse/vote local indices
+#   lbls:  int64 — vote labels (shares ioffs)
+
+_K_NONE, _K_DENSE, _K_SPARSE, _K_VOTES = 0, 1, 2, 3
+
+
+def _pack_bundle(payloads: list):
+    P = len(payloads)
+    kinds = np.zeros(P, dtype=np.int8)
+    vparts, iparts, lparts = [], [], []
+    voffs = np.zeros(P + 1, dtype=np.int64)
+    ioffs = np.zeros(P + 1, dtype=np.int64)
+    for q, p in enumerate(payloads):
+        nv = ni = 0
+        if p is not None:
+            tag = p[0]
+            if tag == "d":
+                kinds[q] = _K_DENSE
+                vparts.append(p[1])
+                nv = len(p[1])
+            elif tag == "s":
+                kinds[q] = _K_SPARSE
+                iparts.append(p[1])
+                vparts.append(p[2])
+                nv = len(p[2])
+                ni = len(p[1])
+            else:  # votes: ('v', idx, labels, weights)
+                kinds[q] = _K_VOTES
+                iparts.append(p[1])
+                lparts.append(p[2])
+                vparts.append(p[3])
+                nv = len(p[3])
+                ni = len(p[1])
+        voffs[q + 1] = voffs[q] + nv
+        ioffs[q + 1] = ioffs[q] + ni
+    vals = np.concatenate(vparts) if vparts else np.empty(0, dtype=np.float64)
+    idx = np.concatenate(iparts) if iparts else np.empty(0, dtype=np.int64)
+    lbls = np.concatenate(lparts) if lparts else None
+    return kinds, voffs, ioffs, vals, idx, lbls
+
+
+def _unpack_segment(bundle, q: int):
+    kinds, voffs, ioffs, vals, idx, lbls = bundle
+    k = kinds[q]
+    if k == _K_NONE:
+        return None
+    v = vals[voffs[q]: voffs[q + 1]]
+    if k == _K_DENSE:
+        return ("d", v)
+    i = idx[ioffs[q]: ioffs[q + 1]]
+    if k == _K_SPARSE:
+        return ("s", i, v)
+    return ("v", i, lbls[ioffs[q]: ioffs[q + 1]], v)
 
 
 # --------------------------------------------------------------------------
@@ -167,74 +232,139 @@ class PartitionWorker:
         self.state = program.init_state(self.ctx)
         self.halted = np.zeros(self.n_local, dtype=bool)
         self.last_send = None
+        # preallocated merge accumulator (fresh allocations per superstep
+        # cause page-fault stalls the BSP barrier amplifies)
+        self._macc = np.empty(self.n_local, dtype=np.dtype(program.msg_dtype))
 
-    # -- superstep ------------------------------------------------------------
+    # -- pipelined BSP superstep ----------------------------------------------
+    #
+    # The driver submits superstep k+1 immediately after k, passing k's
+    # RETURN REFS inside a list (so Ray does NOT resolve them at dispatch);
+    # each worker's ray.get on those refs IS the barrier — it runs inside
+    # the workers, in parallel, while the driver races ahead. The driver
+    # only ray.gets stats with a two-iteration lag for convergence, so no
+    # per-superstep driver round-trip exists (measured: the barriered
+    # driver loop cost ~30 ms/superstep at P=32; a decentralized P²
+    # deliver-RPC scheme cost ~500 ms). Message payloads travel as ONE
+    # packed plasma bundle per sender per superstep (on a multi-node
+    # cluster: the per-(sender → receiver-NODE) message block), read
+    # zero-copy by receivers.
 
-    def superstep(self, iteration: int, incoming):
+    def superstep(self, iteration: int, incoming, checkpoint_dir=None):
+        """incoming: None (first superstep) or the list of the previous
+        superstep's RETURN refs — each resolves to (bundle, stats). The
+        packed bundle rides in the return value itself: big returns land
+        in plasma, so peers fetch them zero-copy without a round-trip to
+        the driver (returning refs-to-bundles instead made every worker
+        resolve P small driver-owned objects per superstep ≈ 100 ms at
+        P=32)."""
+        if incoming is None:
+            segments = []
+        else:
+            segments = ray.get(incoming)
+        bundle, stats = self._compute_one(iteration, segments)
+        if checkpoint_dir is not None:
+            self.checkpoint(iteration, checkpoint_dir)
+            stats["checkpointed"] = True
+        return bundle, stats
+
+    def _compute_one(self, iteration: int, payload_segments):
         t0 = time.perf_counter()
         prog = self.program
         if iteration == 0:
             msgs, has_msg = None, np.zeros(self.n_local, dtype=bool)
         else:
-            msgs, has_msg = self._merge(incoming)
+            msgs, has_msg = self._merge(payload_segments)
         t1 = time.perf_counter()
-
         if iteration == 0:
             active = np.ones(self.n_local, dtype=bool)
         else:
             active = has_msg | ~self.halted
         self.halted &= ~active  # vote bits cleared for computed nodes
-        out = prog.compute(self.ctx, self.state, msgs, has_msg, active, iteration)
+        out = prog.compute(self.ctx, self.state, msgs, has_msg, active,
+                           iteration)
         if out.halt_mask is not None:
             self.halted |= out.halt_mask
         self.last_send = out
         t2 = time.perf_counter()
-
         payloads, sent_edges = self._emit(out)
         t3 = time.perf_counter()
+        bundle = (_pack_bundle(payloads) if any(
+            p is not None for p in payloads) else None)
+        t4 = time.perf_counter()
         stats = {
             "part": self.part,
+            "iteration": iteration,
             "active": int(active.sum()),
             "sent_edges": sent_edges,
             "changed": out.changed,
             "all_halted": bool(self.halted.all()),
-            "t_merge": t1 - t0, "t_compute": t2 - t1, "t_scatter": t3 - t2,
+            "wall_sec": t4 - t0,
+            "t_merge": t1 - t0, "t_compute": t2 - t1,
+            "t_emit": t3 - t2, "t_pack": t4 - t3,
         }
-        return (*payloads, stats)
+        return bundle, stats
 
-    def reemit(self, incoming_unused=None):
-        """Re-scatter the checkpointed send decision (resume path)."""
+    def reemit(self):
+        """Resume path: re-scatter the checkpointed send decision; the
+        return plays the role of the checkpointed iteration's superstep
+        return so the next iteration consumes it unchanged."""
         payloads, sent_edges = self._emit(self.last_send)
-        stats = {"part": self.part, "sent_edges": sent_edges, "changed": 0,
+        bundle = (_pack_bundle(payloads) if any(
+            p is not None for p in payloads) else None)
+        stats = {"part": self.part, "iteration": -1,
+                 "sent_edges": sent_edges, "changed": self.n_local,
                  "active": 0, "all_halted": bool(self.halted.all()),
-                 "t_merge": 0.0, "t_compute": 0.0, "t_scatter": 0.0}
-        return (*payloads, stats)
+                 "wall_sec": 0.0}
+        return bundle, stats
 
     # -- messaging ------------------------------------------------------------
 
     def _merge(self, incoming):
+        """incoming: per-sender packed bundles (materialized — Ray resolves
+        the bundle ref when the deliver task runs, zero-copy on-node);
+        this worker consumes segment index `self.part` of each."""
         prog = self.program
-        refs = [r for r in incoming if r is not None]
-        payloads = [p for p in ray.get(refs) if p is not None] if refs else []
+        bundles = [b for b in incoming if b is not None]
+        payloads = [p for p in
+                    (_unpack_segment(b, self.part) for b in bundles)
+                    if p is not None]
         if prog.reducer == VOTE:
             return self._merge_votes(payloads)
         identity = prog.identity()
-        dtype = np.dtype(prog.msg_dtype)
+        acc = self._macc
+        acc.fill(identity)
+        sparse_idx, sparse_val = [], []
         if prog.reducer == SUM:
-            acc = np.zeros(self.n_local, dtype=dtype)
             for p in payloads:
                 if p[0] == "d":
                     acc += p[1]
                 else:
-                    np.add.at(acc, p[1], p[2])
+                    sparse_idx.append(p[1])
+                    sparse_val.append(p[2])
+            if sparse_idx:
+                # one cache-resident bincount over all sparse entries
+                # (np.add.at measured ~10× slower at this volume)
+                acc += np.bincount(np.concatenate(sparse_idx),
+                                   weights=np.concatenate(sparse_val),
+                                   minlength=self.n_local)
             has = acc != identity
         else:  # MIN
-            acc = np.full(self.n_local, identity, dtype=dtype)
             for p in payloads:
                 if p[0] == "d":
                     np.minimum(acc, p[1], out=acc)
                 else:
-                    np.minimum.at(acc, p[1], p[2])
+                    sparse_idx.append(p[1])
+                    sparse_val.append(p[2])
+            if sparse_idx:
+                idx = np.concatenate(sparse_idx)
+                val = np.concatenate(sparse_val)
+                order = np.argsort(idx, kind="stable")
+                idx, val = idx[order], val[order]
+                runs = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+                uidx = idx[runs]
+                red = np.minimum.reduceat(val, runs)
+                acc[uidx] = np.minimum(acc[uidx], red)
             has = acc != identity
         return acc, has
 
@@ -270,13 +400,15 @@ class PartitionWorker:
         return [self.blocks[f] for f in names if self.blocks.get(f) is not None]
 
     def _select_edges(self, blk: FlowBlock, send_mask: np.ndarray):
-        """Edge indices of the active senders. Returns None for 'all edges,
-        mask-filter inline' (cheaper when most vertices are active)."""
+        """Edge indices of the active senders (via the vertex-major
+        permutation). Returns None for 'all edges, mask-filter inline'
+        (cheaper when most vertices are active)."""
         frac = send_mask.mean() if self.n_local else 0.0
         if frac > 0.5:
             return None
         av = np.flatnonzero(send_mask)
-        return ranges_to_indices(blk.vtx_offsets[av], blk.vtx_offsets[av + 1])
+        return blk.perm[
+            ranges_to_indices(blk.vtx_offsets[av], blk.vtx_offsets[av + 1])]
 
     def _emit(self, out: StepOutput):
         prog = self.program
@@ -285,21 +417,30 @@ class PartitionWorker:
             return self._emit_votes(out)
         identity = prog.identity()
         dtype = np.dtype(prog.msg_dtype)
-        acc = None
+        per_block: list[tuple[np.ndarray, np.ndarray]] = []
         sent_edges = 0
         for blk in self._flow_blocks():
             if blk.num_edges == 0:
                 continue
             eidx = self._select_edges(blk, out.send_mask)
+            sorted_keys = True
             if eidx is None:
-                mask_e = out.send_mask[blk.gather_local]
-                if out.target_range is not None:
-                    lo, hi = out.target_range
-                    mask_e &= (blk.tgt_global >= lo) & (blk.tgt_global < hi)
-                keys = blk.combined_key[mask_e]
-                vals = out.send_value[blk.gather_local[mask_e]].astype(dtype, copy=True)
-                if prog.use_edge_weights and blk.weight is not None:
-                    vals *= blk.weight[mask_e]
+                if out.send_mask.all() and out.target_range is None:
+                    keys = blk.combined_key
+                    vals = out.send_value[blk.gather_local].astype(
+                        dtype, copy=True)
+                    if prog.use_edge_weights and blk.weight is not None:
+                        vals *= blk.weight
+                else:
+                    mask_e = out.send_mask[blk.gather_local]
+                    if out.target_range is not None:
+                        lo, hi = out.target_range
+                        mask_e &= (blk.tgt_global >= lo) & (blk.tgt_global < hi)
+                    keys = blk.combined_key[mask_e]
+                    vals = out.send_value[blk.gather_local[mask_e]].astype(
+                        dtype, copy=True)
+                    if prog.use_edge_weights and blk.weight is not None:
+                        vals *= blk.weight[mask_e]
             else:
                 if out.target_range is not None and len(eidx):
                     lo, hi = out.target_range
@@ -308,32 +449,53 @@ class PartitionWorker:
                 if len(eidx) == 0:
                     continue
                 keys = blk.combined_key[eidx]
-                vals = out.send_value[blk.gather_local[eidx]].astype(dtype, copy=True)
+                vals = out.send_value[blk.gather_local[eidx]].astype(
+                    dtype, copy=True)
                 if prog.use_edge_weights and blk.weight is not None:
                     vals *= blk.weight[eidx]
+                order = np.argsort(keys, kind="stable")
+                keys, vals = keys[order], vals[order]
             sent_edges += len(keys)
             if len(keys) == 0:
                 continue
+            # keys are sorted: segmented reduce to (unique key, reduced
+            # value) — O(E) sequential reads, O(unique) writes; no
+            # vertex-space-sized accumulator or memset (measured: the
+            # P·n_max dense accumulator made the whole engine
+            # memory-bandwidth-bound)
+            runs = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
             if prog.reducer == SUM:
-                a = np.bincount(keys, weights=vals, minlength=P * n_max)
-                acc = a if acc is None else acc + a
+                red = np.add.reduceat(vals, runs)
             else:  # MIN
-                if acc is None:
-                    acc = np.full(P * n_max, identity, dtype=dtype)
-                np.minimum.at(acc, keys, vals)
+                red = np.minimum.reduceat(vals, runs)
+            per_block.append((keys[runs], red))
         payloads = [None] * P
-        if acc is not None:
-            if prog.reducer == SUM and acc.dtype != dtype:
-                acc = acc.astype(dtype)
+        if per_block:
+            if len(per_block) == 1:
+                ukeys, red = per_block[0]
+            else:  # 'both' flow: merge the two sorted partial reductions
+                ukeys = np.concatenate([b[0] for b in per_block])
+                red = np.concatenate([b[1] for b in per_block])
+                order = np.argsort(ukeys, kind="stable")
+                ukeys, red = ukeys[order], red[order]
+                runs = np.flatnonzero(np.r_[True, ukeys[1:] != ukeys[:-1]])
+                red = (np.add.reduceat(red, runs) if prog.reducer == SUM
+                       else np.minimum.reduceat(red, runs))
+                ukeys = ukeys[runs]
+            bounds = np.searchsorted(ukeys, np.arange(P + 1) * n_max)
             for q in range(P):
-                seg = acc[q * n_max: q * n_max + num_local(self.n, q, P)]
-                nz = np.flatnonzero(seg != identity)
-                if len(nz) == 0:
+                lo, hi = bounds[q], bounds[q + 1]
+                if lo == hi:
                     continue
-                if len(nz) < _SPARSE_DENSITY * len(seg):
-                    payloads[q] = ("s", nz, seg[nz])
+                idx = ukeys[lo:hi] - q * n_max
+                v = red[lo:hi]
+                n_q = num_local(self.n, q, P)
+                if len(idx) >= _SPARSE_DENSITY * n_q:
+                    seg = np.full(n_q, identity, dtype=dtype)
+                    seg[idx] = v
+                    payloads[q] = ("d", seg)
                 else:
-                    payloads[q] = ("d", np.ascontiguousarray(seg))
+                    payloads[q] = ("s", idx, v)
         return payloads, sent_edges
 
     def _emit_votes(self, out: StepOutput):
@@ -455,6 +617,7 @@ class SuperstepResult:
     metrics: list[dict]
     state_refs: list | None = None
     state_keys: tuple[str, ...] = ()
+    total_wall_sec: float = 0.0
 
     def to_dataset(self) -> "ray.data.Dataset":
         import ray.data as rd
@@ -481,7 +644,8 @@ class SuperstepEngine:
         cpus = ray.cluster_resources().get("CPU", self.P)
         num_cpus = max(0.01, min(1.0, cpus / max(1, self.P)))
         self.workers = [
-            PartitionWorker.options(num_cpus=num_cpus).remote(p, self.P, graph.n)
+            PartitionWorker.options(num_cpus=num_cpus).remote(
+                p, self.P, graph.n)
             for p in range(self.P)
         ]
         self._loaded_flows: set[str] = set()
@@ -525,59 +689,84 @@ class SuperstepEngine:
     ) -> SuperstepResult:
         params = params or {}
         self._ensure_blocks(program.flow)
-        P = self.P
         ray.get([w.setup.remote(program, params) for w in self.workers])
 
-        metrics: list[dict] = []
         start_iter = 0
-        out_refs: list[list] = [[None] * P for _ in range(P)]
-
+        prev = None
         if resume and checkpoint_dir:
-            last = latest_complete_iteration(checkpoint_dir)
+            last = latest_complete_iteration(checkpoint_dir, self.P)
             if last is not None:
                 ray.get([w.load_checkpoint.remote(last, checkpoint_dir)
                          for w in self.workers])
-                rets = [w.reemit.options(num_returns=P + 1).remote()
-                        for w in self.workers]
-                out_refs = [list(r[:-1]) for r in rets]
-                ray.get([r[-1] for r in rets])
                 start_iter = last + 1
+                prev = [w.reemit.options(num_returns=2).remote()[0]
+                        for w in self.workers]
 
+        LAG = 2  # pipeline depth: convergence checked this many iterations behind
+        t0 = time.perf_counter()
+        pending: list[tuple[int, list]] = []
+        metrics: list[dict] = []
+        checkpoint_iters: list[int] = []
         converged = False
         ran = max_iterations
-        for it in range(start_iter, max_iterations):
-            t0 = time.perf_counter()
-            rets = []
-            for p, w in enumerate(self.workers):
-                incoming = [out_refs[q][p] for q in range(P)]
-                rets.append(
-                    w.superstep.options(num_returns=P + 1).remote(it, incoming))
-            stats = ray.get([r[-1] for r in rets])
-            out_refs = [list(r[:-1]) for r in rets]
-            wall = time.perf_counter() - t0
+
+        def record(done_it: int, stats_refs: list) -> bool:
+            """Collect one iteration's stats; True if converged there."""
+            stats = ray.get(stats_refs)
             total_sent = sum(s["sent_edges"] for s in stats)
             total_changed = sum(s["changed"] for s in stats)
-            all_halted = all(s["all_halted"] for s in stats)
             metrics.append({
-                "iteration": it,
-                "wall_sec": wall,
+                "iteration": done_it,
+                "wall_sec": max(s["wall_sec"] for s in stats),
                 "sent_edges": total_sent,
                 "changed": total_changed,
                 "active": sum(s["active"] for s in stats),
-                "edges_per_sec": total_sent / wall if wall > 0 else 0.0,
-                "parts": stats,
+                "phase_max": {k: max(s.get(k, 0.0) for s in stats)
+                              for k in ("t_merge", "t_compute", "t_emit",
+                                        "t_pack")},
             })
-            if checkpoint_interval and checkpoint_dir and (
-                    it % checkpoint_interval == 0 or it == max_iterations - 1):
-                self._write_checkpoint(it, checkpoint_dir, metrics[-1])
-            if convergence == "messages" and total_sent == 0 and all_halted:
-                converged, ran = True, it
-                break
-            if convergence == "changed" and it >= convergence_window:
+            if any(s.get("checkpointed") for s in stats):
+                checkpoint_iters.append(done_it)
+            if convergence == "messages":
+                return total_sent == 0 and all(s["all_halted"] for s in stats)
+            if done_it >= convergence_window and done_it >= start_iter + 1:
                 recent = metrics[-convergence_window:]
-                if sum(m["changed"] for m in recent) == 0:
-                    converged, ran = True, it
+                return (len(recent) == convergence_window
+                        and sum(m["changed"] for m in recent) == 0)
+            return False
+
+        for it in range(start_iter, max_iterations):
+            ck = (checkpoint_dir
+                  if checkpoint_interval and checkpoint_dir and
+                  (it % checkpoint_interval == 0 or it == max_iterations - 1)
+                  else None)
+            pairs = [w.superstep.options(num_returns=2).remote(it, prev, ck)
+                     for w in self.workers]
+            pending.append((it, [p[1] for p in pairs]))
+            prev = [p[0] for p in pairs]
+            if len(pending) > LAG:
+                done_it, done_rets = pending.pop(0)
+                if record(done_it, done_rets):
+                    converged, ran = True, done_it
                     break
+        # drain in-flight iterations (harmless no-op supersteps when
+        # convergence was just detected — no messages remain in flight)
+        for done_it, done_rets in pending:
+            if not converged and record(done_it, done_rets):
+                converged, ran = True, done_it
+            elif converged:
+                ray.get(done_rets)
+        if converged:
+            metrics = [m for m in metrics if m["iteration"] <= ran]
+        total_wall = time.perf_counter() - t0
+        for m in metrics:
+            m["edges_per_sec"] = (m["sent_edges"] / m["wall_sec"]
+                                  if m["wall_sec"] > 0 else 0.0)
+        by_iter = {m["iteration"]: m for m in metrics}
+
+        if checkpoint_dir:
+            for it in checkpoint_iters:
+                self._write_manifest(it, checkpoint_dir, by_iter.get(it, {}))
 
         keys = collect if collect is not None else program.state_keys
         state_refs = [w.get_state_table.remote(keys) for w in self.workers]
@@ -586,17 +775,15 @@ class SuperstepEngine:
         ray.wait(state_refs, num_returns=len(state_refs))
         return SuperstepResult(
             ran_iterations=ran, converged=converged, metrics=metrics,
-            state_refs=state_refs, state_keys=keys,
+            state_refs=state_refs, state_keys=keys, total_wall_sec=total_wall,
         )
 
-    def _write_checkpoint(self, it: int, ckpt_dir: str, metric: dict) -> None:
-        infos = ray.get([w.checkpoint.remote(it, ckpt_dir) for w in self.workers])
+    def _write_manifest(self, it: int, ckpt_dir: str, metric: dict) -> None:
         manifest = {
             "iteration": it,
             "num_parts": self.P,
             "num_vertices": self.graph.n,
-            "parts": infos,
-            "metrics": {k: v for k, v in metric.items() if k != "parts"},
+            "metrics": metric,
             "complete": True,
         }
         path = os.path.join(ckpt_dir, f"iter={it}", "manifest.json")
@@ -622,21 +809,31 @@ class SuperstepEngine:
             pass
 
 
-def latest_complete_iteration(ckpt_dir: str) -> int | None:
-    """Largest iteration K with a committed manifest (lineage) file."""
+def latest_complete_iteration(ckpt_dir: str,
+                              num_parts: int | None = None) -> int | None:
+    """Largest iteration K that is resumable: has a committed manifest, or
+    (crash before the post-run manifest write) all `num_parts` part files
+    present — each part file is written atomically."""
     if not os.path.isdir(ckpt_dir):
         return None
     best = None
     for name in os.listdir(ckpt_dir):
         if not name.startswith("iter="):
             continue
-        mp = os.path.join(ckpt_dir, name, "manifest.json")
+        d = os.path.join(ckpt_dir, name)
+        ok = False
+        mp = os.path.join(d, "manifest.json")
         if os.path.exists(mp):
             try:
                 with open(mp) as f:
-                    if json.load(f).get("complete"):
-                        it = int(name.split("=", 1)[1])
-                        best = it if best is None or it > best else best
+                    ok = bool(json.load(f).get("complete"))
             except (ValueError, json.JSONDecodeError):
-                continue
+                ok = False
+        elif num_parts is not None:
+            parts = [f for f in os.listdir(d)
+                     if f.startswith("part=") and f.endswith(".parquet")]
+            ok = len(parts) == num_parts
+        if ok:
+            it = int(name.split("=", 1)[1])
+            best = it if best is None or it > best else best
     return best

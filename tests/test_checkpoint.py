@@ -29,8 +29,11 @@ def test_checkpoint_layout_and_lineage(ray_session, tmp_path):
         manifest = json.load(f)
     assert manifest["complete"]
     assert manifest["num_parts"] == 3
-    assert {p["part"] for p in manifest["parts"]} == {0, 1, 2}
     assert "edges_per_sec" in manifest["metrics"]
+    # every partition's state file is present
+    import glob
+    files = glob.glob(os.path.join(ckpt, f"iter={iters[-1]}", "part=*.parquet"))
+    assert len(files) == 3
 
 
 def test_resume_mid_iteration_matches_uninterrupted(ray_session, tmp_path):
