@@ -134,35 +134,107 @@ def run_bench() -> dict:
     return out
 
 
+def run_scaling_child(num_cpus: int) -> dict:
+    """One scaling measurement at a given cpu count, on a SHARED cached
+    repo graph (fixed P=32 layout → byte-identical work at both levels).
+    Also times the CPU-bound edge-derivation phase separately."""
+    n_repos = int(os.environ.get("GRAFT_SCALING_REPOS", "500000"))
+    P = 32
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from graph_data_science_ray.sources.repo_source import write_repo_table
+    from graph_data_science_ray.pipelines.graph_pipeline import build_graph_from_repos
+    from graph_data_science_ray.pipelines.pagerank import PageRankProgram
+    from graph_data_science_ray.pipelines.wcc import WCCProgram
+    from graph_data_science_ray.stages.superstep import (
+        PartitionedGraph, SuperstepEngine)
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    repos_path = os.path.join(BENCH_DIR, f"repos_n{n_repos}_s42.parquet")
+    if not os.path.exists(repos_path):
+        log(f"generating scaling repo table n={n_repos} ...")
+        write_repo_table(repos_path, n_repos, files_per_repo=3,
+                         avg_imports_per_file=8, seed=42)
+    graph_dir = os.path.join(BENCH_DIR, f"scaling_graph_n{n_repos}_P{P}")
+    if not os.path.exists(os.path.join(graph_dir, "manifest.json")):
+        log("building scaling graph (one-time, cached) ...")
+        build_graph_from_repos(repos_path, graph_dir, num_parts=P,
+                               verify_digest=False)
+    graph = PartitionedGraph.from_manifest(graph_dir)
+
+    # CPU-bound phase: edge derivation (regex extraction + sha256)
+    import ray.data as rd
+    from graph_data_science_ray.sources.edge_derivation import derive_edges
+    with open(repos_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+    t0 = time.perf_counter()
+    n_candidates = derive_edges(
+        rd.read_parquet(repos_path,
+                        columns=["repo", "path", "commit", "content"],
+                        override_num_blocks=4 * num_cpus)).count()
+    derive_sec = time.perf_counter() - t0
+
+    engine = SuperstepEngine(graph)
+    engine.run(PageRankProgram(tolerance=0.0), max_iterations=3,
+               collect=("rank",))  # warm actors/blocks
+    t0 = time.perf_counter()
+    pr = engine.run(PageRankProgram(tolerance=0.0), max_iterations=20,
+                    collect=("rank",))
+    pr_sec = time.perf_counter() - t0
+    pr_edges = sum(m["sent_edges"] for m in pr.metrics)
+    t0 = time.perf_counter()
+    cc = engine.run(WCCProgram(), max_iterations=100, collect=("label",))
+    wcc_sec = time.perf_counter() - t0
+    cc_edges = sum(m["sent_edges"] for m in cc.metrics)
+    engine.shutdown()
+    out = {
+        "num_cpus": num_cpus,
+        "num_vertices": graph.n,
+        "num_edges": graph.num_edges,
+        "derive_sec": round(derive_sec, 3),
+        "derive_rows_per_sec": round(3 * n_repos / derive_sec, 1),
+        "pagerank_sec": round(pr_sec, 3),
+        "wcc_sec": round(wcc_sec, 3),
+        "superstep_edges_per_sec": round(
+            (pr_edges + cc_edges) / (pr.total_wall_sec + cc.total_wall_sec), 1),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
-    env_common = dict(os.environ)
     results = {}
     for cpus in (8, 32):
-        env = dict(env_common, RAY_GRAFT_CPUS=str(cpus))
         log(f"--- scaling run: {cpus} cpus ---")
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             str(cpus)],
+            env=dict(os.environ), capture_output=True, text=True)
         sys.stderr.write(proc.stderr[-2000:])
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
-    t8 = results[8]["value"]
-    t32 = results[32]["value"]
-    tp8 = results[8]["detail"]["superstep_edges_per_sec"]
-    tp32 = results[32]["detail"]["superstep_edges_per_sec"]
+    r8, r32 = results[8], results[32]
+    eff = lambda lo, hi: round((hi / lo) / 4.0, 3)  # noqa: E731
     return {
         "metric": "scaling_8_to_32",
-        "sec_8": t8,
-        "sec_32": t32,
-        "superstep_edges_per_sec_8": tp8,
-        "superstep_edges_per_sec_32": tp32,
-        "scaling_efficiency_wall": round((t8 / t32) / 4.0, 3),
-        "scaling_efficiency_superstep": round((tp32 / tp8) / 4.0, 3),
-        "num_repos": results[32]["detail"]["num_repos"],
+        "runs": results,
+        "scaling_efficiency_superstep": eff(
+            r8["superstep_edges_per_sec"], r32["superstep_edges_per_sec"]),
+        "scaling_efficiency_derivation": eff(
+            r8["derive_rows_per_sec"], r32["derive_rows_per_sec"]),
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-child" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--scaling-child") + 1])
+        print(json.dumps(run_scaling_child(cpus)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -268,6 +268,66 @@ def q_token_counts(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_lang_id(sf_dir: str):
+    """Stopword-vote language ID (heuristic — rows-only check)."""
+    from .functions.text import language_id
+    return language_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_quality_scores(sf_dir: str):
+    """Web-corpus quality signals (heuristic — rows-only check)."""
+    from .functions.text import quality_scores
+    return quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only check)."""
+    from .functions.text import fingerprints
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-duplicate clusters (rows-only check)."""
+    from .functions.dedup import minhash_dedup
+    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-duplicate clusters (rows-only check)."""
+    from .functions.dedup import simhash_dedup
+    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for the first 4 embeddings as queries."""
+    from .functions.ann import _batch_matrix, brute_force_topk
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.filter(lambda r: r["vec_id"] < 4).to_pandas()
+    head = head.sort_values("vec_id")
+    queries = np.array([np.asarray(v, dtype=np.float64)
+                        for v in head["embedding"]])
+    out = brute_force_topk(emb, queries, k=10)
+    out["score"] = out["score"].round(_ROUND)
+    return out
+
+
+def q_embedding_neardup(sf_dir: str):
+    """LSH-bucketed cosine near-duplicate pairs (rows-only check)."""
+    from .functions.ann import embedding_neardup
+    return embedding_neardup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.5, num_bits=4)
+
+
+def q_minmax_scale(sf_dir: str):
+    """MinMax property scaler over customer account balances."""
+    from .functions.scalers import scale
+    out = scale(_read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+                "c_acctbal", "minmax", out_col="acctbal_scaled").to_pandas()
+    out["acctbal_scaled"] = out["acctbal_scaled"].round(_ROUND)
+    return out[["c_custkey", "acctbal_scaled"]]
+
+
 def q_char_classes(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -403,6 +463,27 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "exact_dedup": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id""",
+    "ann_topk": f"""
+WITH sims AS (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           list_cosine_similarity(q.embedding, e.embedding) AS score
+    FROM embeddings q JOIN embeddings e ON q.vec_id < 4
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT query_id, vec_id, ROUND(score, {_ROUND}) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "minmax_scale": f"""
+WITH st AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer)
+SELECT c_custkey,
+       ROUND(CASE WHEN hi = lo THEN 0.0
+                  ELSE (c_acctbal - lo) / (hi - lo) END, {_ROUND})
+           AS acctbal_scaled
+FROM customer, st ORDER BY c_custkey""",
     "token_counts": r"""
 SELECT doc_id,
        CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
@@ -431,4 +512,12 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_counts": q_token_counts,
     "char_classes": q_char_classes,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "minmax_scale": q_minmax_scale,
 }

@@ -1,0 +1,146 @@
+"""Text analysis stages for large-scale training-data pipelines.
+
+All operators are deterministic, vectorized map_batches kernels over the
+``documents``-shaped table (doc_id, text, ...). Stateful pieces (compiled
+regexes, stopword tables) live in callable-class actor pools.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "en", "por", "que"},
+    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"},
+}
+
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+_WS = re.compile(r"\s+")
+_WORD = re.compile(r"[\w']+")
+
+
+class LanguageId:
+    """Actor-pool stage: stopword-vote language identification.
+
+    Predicts the language whose stopword profile matches the most tokens;
+    ties and no-hit rows fall back to 'en'. Deterministic.
+    """
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.word = _WORD
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"]:
+            toks = self.word.findall(text.lower())
+            best, best_hits = "en", -1
+            for lang in sorted(self.profiles):
+                hits = sum(1 for t in toks if t in self.profiles[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        out = batch[["doc_id"]].copy()
+        out["lang_pred"] = preds
+        return out
+
+
+def language_id(docs: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
+    return docs.map_batches(LanguageId, batch_format="pandas",
+                            concurrency=concurrency)
+
+
+def token_counts(docs: rd.Dataset) -> rd.Dataset:
+    """Whitespace tokens + BPE-ish subword-regex tokens per document."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ws = [len(_WS.split(s.strip())) if s.strip() else 0 for s in texts]
+        bpe = [len(_BPE_ISH.findall(s)) for s in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens_ws": pa.array(ws, type=pa.int64()),
+            "n_tokens_bpe": pa.array(bpe, type=pa.int64()),
+        })
+
+    return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_scores(docs: rd.Dataset) -> rd.Dataset:
+    """Heuristic quality metrics: length, punctuation/digit/uppercase
+    ratios, stopword ratio, mean word length, and a composite [0,1]
+    score — the usual web-corpus filtering signals, vectorized."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"]
+        n_chars = s.str.len().clip(lower=1)
+        words = s.str.findall(_WORD)
+        n_words = words.str.len().clip(lower=1)
+        stop = words.map(
+            lambda ws: sum(1 for w in ws if w.lower() in _LANG_PROFILES["en"]))
+        punct_ratio = s.str.count(r"[^\w\s]") / n_chars
+        digit_ratio = s.str.count(r"[0-9]") / n_chars
+        upper_ratio = s.str.count(r"[A-Z]") / n_chars
+        mean_word_len = words.map(
+            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        stop_ratio = stop / n_words
+        score = (
+            (punct_ratio < 0.2).astype(float) * 0.25
+            + (stop_ratio > 0.05).astype(float) * 0.25
+            + mean_word_len.between(2.5, 9.0).astype(float) * 0.25
+            + (n_chars >= 50).astype(float) * 0.25
+        )
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": s.str.len().astype(np.int64),
+            "n_words": words.str.len().astype(np.int64),
+            "punct_ratio": punct_ratio.round(6),
+            "digit_ratio": digit_ratio.round(6),
+            "upper_ratio": upper_ratio.round(6),
+            "stop_ratio": stop_ratio.round(6),
+            "mean_word_len": mean_word_len.round(6),
+            "quality_score": score,
+        })
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+def fingerprints(docs: rd.Dataset, window: int = 8) -> rd.Dataset:
+    """64-bit document fingerprint: min of a rolling polynomial hash over
+    the normalized character stream (winnowing-style; deterministic)."""
+    B = np.uint64(1000003)
+    MASK = np.uint64((1 << 64) - 1)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t["text"].to_pylist():
+            norm = _WS.sub(" ", text.strip().lower())
+            data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+            if len(data) < window:
+                h = np.uint64(0)
+                for b in data:
+                    h = (h * B + np.uint64(b)) & MASK
+                out.append(int(h))
+                continue
+            # rolling hash over all windows, vectorized
+            powers = np.array([int(B) ** i % (1 << 64)
+                               for i in range(window)][::-1], dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(data, window)
+            hashes = (win.astype(np.uint64) * powers).sum(
+                axis=1, dtype=np.uint64)
+            out.append(int(hashes.min()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprint": pa.array(out, type=pa.uint64()),
+        })
+
+    return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)

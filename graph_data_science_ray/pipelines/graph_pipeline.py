@@ -24,8 +24,11 @@ def build_graph_from_repos(
     verify_digest: bool = True,
 ) -> PartitionedGraph:
     """Read the repo table, derive repo→repo edges, build the graph dir."""
+    import ray
+    nblocks = 4 * max(1, int(ray.cluster_resources().get("CPU", 4)))
     repos = rd.read_parquet(repos_path,
-                            columns=["repo", "path", "commit", "content"])
+                            columns=["repo", "path", "commit", "content"],
+                            override_num_blocks=nblocks)
     edges = derive_edges(repos)
     lineage = {"source": repos_path}
     if verify_digest:

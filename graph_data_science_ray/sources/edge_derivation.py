@@ -64,14 +64,35 @@ class ImportExtractor:
         })
 
 
+_task_extractor: ImportExtractor | None = None
+
+
+def _extract_task(batch: pa.Table) -> pa.Table:
+    global _task_extractor
+    if _task_extractor is None:
+        _task_extractor = ImportExtractor()
+    return _task_extractor(batch)
+
+
 def derive_edges(repos_ds: rd.Dataset, concurrency=None,
-                 batch_size: int = 4096) -> rd.Dataset:
+                 batch_size: int = 4096,
+                 use_actors: bool = False) -> rd.Dataset:
     """repo table Dataset → candidate edge Dataset
     (src_repo, dst_repo, sha256), one row per import statement.
 
-    The actor pool autoscales to cpus-1 so the upstream read stage always
+    Default: stateless tasks with a per-process cached extractor —
+    elastic, no pool ramp-up (this stage's state is just a compiled
+    regex). use_actors=True runs the explicit actor-pool form instead;
+    the pool autoscales to cpus-1 so the upstream read stage always
     keeps a CPU (a fixed pool of exactly `cpus` actors starves the read
     and deadlocks the streaming executor)."""
+    if not use_actors:
+        return repos_ds.map_batches(
+            _extract_task,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     if concurrency is None:
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 4))

@@ -111,6 +111,9 @@ def write_repo_table(path: str, n_repos: int, **kwargs) -> tuple[str, np.ndarray
     table, src, dst = generate_repo_table(n_repos, **kwargs)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    # small row groups so read_parquet can split the file into enough
+    # blocks to feed a whole actor pool (one giant row group = one read
+    # task = serial extraction)
+    pq.write_table(table, tmp, row_group_size=32768)
     os.replace(tmp, path)
     return path, src, dst

@@ -1,0 +1,188 @@
+"""Training-data operators: text analysis, dedup families, ANN, scalers,
+similarity functions, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from graph_data_science_ray.functions import ann, dedup, multimodal, scalers
+from graph_data_science_ray.functions import similarity as simf
+from graph_data_science_ray.functions import text as textf
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    texts = [
+        "The quick brown fox jumps over the lazy dog and the cat",
+        "The quick brown fox jumps over the lazy dog and the cat",   # dup of 0
+        "The quick brown fox jumps over the lazy dog and a cat",     # near-dup
+        "Der Hund ist nicht auf der Strasse und das ist gut",
+        "Le chat est dans la maison pour le moment",
+        "completely different content about spacecraft engineering 12345",
+        "short",
+        "El perro es un animal y la casa es grande por que si",
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+def test_language_id(docs_ds):
+    out = textf.language_id(docs_ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[3, "lang_pred"] == "de"
+    assert out.loc[4, "lang_pred"] == "fr"
+    assert out.loc[7, "lang_pred"] == "es"
+
+
+def test_token_counts(docs_ds):
+    out = textf.token_counts(docs_ds).to_pandas().set_index("doc_id")
+    assert out.loc[6, "n_tokens_ws"] == 1
+    assert out.loc[0, "n_tokens_ws"] == 12
+    assert (out["n_tokens_bpe"] >= out["n_tokens_ws"]).all()
+
+
+def test_quality_scores(docs_ds):
+    out = textf.quality_scores(docs_ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "quality_score"] > out.loc[6, "quality_score"]
+    assert (out["punct_ratio"] >= 0).all() and (out["punct_ratio"] <= 1).all()
+
+
+def test_fingerprints_deterministic(docs_ds):
+    a = textf.fingerprints(docs_ds).to_pandas().set_index("doc_id")
+    b = textf.fingerprints(docs_ds).to_pandas().set_index("doc_id")
+    assert (a["fingerprint"] == b["fingerprint"]).all()
+    assert a.loc[0, "fingerprint"] == a.loc[1, "fingerprint"]  # identical docs
+    assert a.loc[0, "fingerprint"] != a.loc[5, "fingerprint"]
+
+
+def test_exact_dedup(docs_ds):
+    out = dedup.exact_dedup(docs_ds).to_pandas()
+    row = out[out["dup_count"] == 2]
+    assert len(row) == 1 and row.iloc[0]["doc_id"] == 0
+    assert len(out) == 7  # 8 docs, one exact pair
+
+
+def test_minhash_dedup(docs_ds):
+    clustered = dedup.minhash_dedup(docs_ds, threshold=0.7)
+    by_id = clustered.set_index("doc_id")["cluster_id"]
+    assert by_id[0] == by_id[1] == by_id[2]  # exact + near dup clustered
+    assert by_id[5] == 5                      # unique doc keeps itself
+    keep = clustered.set_index("doc_id")["keep"]
+    assert keep[0] and not keep[1] and not keep[2]
+
+
+def test_simhash_dedup(docs_ds):
+    clustered = dedup.simhash_dedup(docs_ds, max_distance=3)
+    by_id = clustered.set_index("doc_id")["cluster_id"]
+    assert by_id[0] == by_id[1]  # identical docs share a cluster
+    assert by_id[5] == 5
+
+
+def test_ngram_jaccard():
+    sims = dedup.ngram_jaccard(["abcdefg", "abcdefg", "abcdefg"],
+                               ["abcdefg", "abcdefx", "zzzzzzz"], n=3)
+    assert sims[0] == 1.0
+    assert 0 < sims[1] < 1
+    assert sims[2] == 0.0
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16))
+    vecs[5] = vecs[3] + 1e-6            # near-duplicate pair
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+    })), vecs
+
+
+def test_brute_force_topk(emb_ds):
+    ds, vecs = emb_ds
+    queries = vecs[:3]
+    out = ann.brute_force_topk(ds, queries, k=5)
+    assert len(out) == 15
+    top1 = out[out["rank"] == 1].set_index("query_id")
+    for q in range(3):
+        assert top1.loc[q, "vec_id"] == q  # each query's best match: itself
+        assert abs(top1.loc[q, "score"] - 1.0) < 1e-9
+    # exactness vs numpy oracle
+    sims = simf.cosine_matrix(vecs, queries)
+    for q in range(3):
+        expected = np.argsort(-sims[q], kind="stable")[:5]
+        got = out[out["query_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        assert set(got) == set(expected)
+
+
+def test_lsh_topk_overlaps_exact(emb_ds):
+    ds, vecs = emb_ds
+    queries = vecs[:2]
+    exact = ann.brute_force_topk(ds, queries, k=5)
+    approx = ann.lsh_topk(ds, queries, k=5, num_bits=6)
+    # LSH must at least find the identical vector for each query
+    for q in range(2):
+        got = approx[approx["query_id"] == q]["vec_id"].tolist()
+        assert q in got
+
+
+def test_embedding_neardup(emb_ds):
+    ds, _ = emb_ds
+    pairs = ann.embedding_neardup(ds, threshold=0.999, num_bits=6)
+    assert ((pairs["a"] == 3) & (pairs["b"] == 5)).any()
+
+
+def test_scalers(ray_session):
+    vals = np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float64)
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    got = scalers.scale(ds, "v", "minmax").to_pandas()["v_scaled"].to_numpy()
+    assert np.allclose(sorted(got), [0, 1 / 3, 2 / 3, 1.0])
+    got = scalers.scale(ds, "v", "stdscore").to_pandas()["v_scaled"].to_numpy()
+    assert abs(np.mean(got)) < 1e-12
+    got = scalers.scale(ds, "v", "l2").to_pandas()["v_scaled"].to_numpy()
+    assert np.allclose(np.linalg.norm(got), 1.0)
+    got = scalers.scale(ds, "v", "l1").to_pandas()["v_scaled"].to_numpy()
+    assert np.allclose(np.sum(np.abs(got)), 1.0)
+
+
+def test_one_hot():
+    assert scalers.one_hot_encode(["b", "z"], ["a", "b", "c"]) == [
+        [0, 1, 0], [0, 0, 0]]
+
+
+def test_similarity_functions():
+    a = np.array([1, 2, 3], dtype=np.int64)
+    b = np.array([2, 3, 4], dtype=np.int64)
+    assert abs(simf.jaccard(a, b) - 0.5) < 1e-12
+    assert abs(simf.overlap(a, b) - 2 / 3) < 1e-12
+    x = np.array([1.0, 0.0])
+    y = np.array([0.0, 1.0])
+    assert abs(simf.cosine(x, y)) < 1e-12
+    assert abs(simf.euclidean_similarity(x, x) - 1.0) < 1e-12
+
+
+def test_multimodal_plumbing(ray_session):
+    items = rd.from_arrow(multimodal.synthesize_binary_items(20))
+    feats = multimodal.extract_image_features(items, dim=32).to_pandas()
+    assert len(feats) == 20
+    assert all(len(f) == 32 for f in feats["feature"])
+    # deterministic across runs
+    feats2 = multimodal.extract_image_features(
+        rd.from_arrow(multimodal.synthesize_binary_items(20)),
+        dim=32).to_pandas()
+    f1 = feats.sort_values("item_id")["feature"].tolist()
+    f2 = feats2.sort_values("item_id")["feature"].tolist()
+    assert all(np.array_equal(x, y) for x, y in zip(f1, f2))
+    frames = multimodal.sample_audio_frames(items, frames_per_item=3).to_pandas()
+    assert len(frames) == 60
+    assert set(frames["frame_idx"]) == {0, 1, 2}
+
+
+def test_multimodal_strict_raises(ray_session):
+    ex = multimodal.ImageFeatureExtractor(strict=True)
+    if ex.decoder is None:
+        with pytest.raises(NotImplementedError):
+            ex(multimodal.synthesize_binary_items(2))
