@@ -172,6 +172,9 @@ def run_scaling_child(num_cpus: int) -> dict:
     with open(repos_path, "rb") as f:
         while f.read(1 << 24):
             pass
+    # spawn the whole worker-process pool before timing anything
+    rd.range(1_000_000, override_num_blocks=4 * num_cpus).map_batches(
+        lambda b: b).count()
     t0 = time.perf_counter()
     n_candidates = derive_edges(
         rd.read_parquet(repos_path,

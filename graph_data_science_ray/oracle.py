@@ -81,6 +81,47 @@ def pagerank(
     return rank, it, converged
 
 
+def article_rank(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    damping: float = 0.85,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+) -> tuple[np.ndarray, int, bool]:
+    """ArticleRank: PageRank delta-push with message =
+    delta / (degree + averageDegree)
+    (algo/.../pagerank/ArticleRankComputation.java:99)."""
+    alpha = 1.0 - damping
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    avg_degree = len(src) / max(n, 1)
+    rank = np.full(n, alpha, dtype=np.float64)
+    halted = np.zeros(n, dtype=bool)
+    recv = np.zeros(n, dtype=np.float64)
+    converged = False
+    it = 0
+    for it in range(max_iterations):
+        has_msg = recv != 0.0
+        initial = it == 0
+        active = np.ones(n, dtype=bool) if initial else (has_msg | ~halted)
+        if initial:
+            delta = rank.copy()
+        else:
+            delta = np.where(active, damping * recv, 0.0)
+            rank = np.where(active, rank + delta, rank)
+        halted = halted & ~active
+        send_mask = active & (initial | (delta > tolerance))
+        halted |= active & ~send_mask
+        senders = send_mask & (deg > 0)
+        edge_sel = senders[src]
+        msgs = delta[src[edge_sel]] / (deg[src[edge_sel]] + avg_degree)
+        recv = np.bincount(dst[edge_sel], weights=msgs, minlength=n)
+        if len(msgs) == 0 and halted.all():
+            converged = True
+            break
+    return rank, it, converged
+
+
 def wcc(
     n: int,
     src: np.ndarray,

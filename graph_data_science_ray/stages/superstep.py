@@ -52,7 +52,8 @@ from ..state.blocks import (
     partition_edges,
     ranges_to_indices,
 )
-from .vertex_program import MIN, SUM, VOTE, StepOutput, VertexProgram, WorkerContext
+from .vertex_program import (MIN, OR, SUM, VOTE, StepOutput, VertexProgram,
+                             WorkerContext)
 
 # dense segment (8B/slot) beats sparse (16B/entry) above half density
 _SPARSE_DENSITY = 0.5
@@ -110,6 +111,13 @@ class PartitionedGraph:
 #   lbls:  int64 — vote labels (shares ioffs)
 
 _K_NONE, _K_DENSE, _K_SPARSE, _K_VOTES = 0, 1, 2, 3
+
+
+def _combine_weight(vals: np.ndarray, w: np.ndarray, mode: str) -> None:
+    if mode == "mul":
+        vals *= w
+    else:  # 'add' — SSSP-style relaxation: message = value + edge weight
+        vals += w
 
 
 def _pack_bundle(payloads: list):
@@ -250,7 +258,8 @@ class PartitionWorker:
     # cluster: the per-(sender → receiver-NODE) message block), read
     # zero-copy by receivers.
 
-    def superstep(self, iteration: int, incoming, checkpoint_dir=None):
+    def superstep(self, iteration: int, incoming, checkpoint_dir=None,
+                  master_value=None):
         """incoming: None (first superstep) or the list of the previous
         superstep's RETURN refs — each resolves to (bundle, stats). The
         packed bundle rides in the return value itself: big returns land
@@ -262,7 +271,13 @@ class PartitionWorker:
             segments = []
         else:
             segments = ray.get(incoming)
+        master_converged = None
+        if self.program.needs_master and master_value is not None:
+            master_converged = bool(
+                self.program.apply_master(self.ctx, self.state, master_value))
         bundle, stats = self._compute_one(iteration, segments)
+        if master_converged is not None:
+            stats["master_converged_local"] = master_converged
         if checkpoint_dir is not None:
             self.checkpoint(iteration, checkpoint_dir)
             stats["checkpointed"] = True
@@ -303,6 +318,8 @@ class PartitionWorker:
             "t_merge": t1 - t0, "t_compute": t2 - t1,
             "t_emit": t3 - t2, "t_pack": t4 - t3,
         }
+        if out.master_partial is not None:
+            stats["master_partial"] = out.master_partial
         return bundle, stats
 
     def reemit(self):
@@ -349,10 +366,11 @@ class PartitionWorker:
                                    weights=np.concatenate(sparse_val),
                                    minlength=self.n_local)
             has = acc != identity
-        else:  # MIN
+        else:  # MIN / OR
+            combine = np.minimum if prog.reducer == MIN else np.bitwise_or
             for p in payloads:
                 if p[0] == "d":
-                    np.minimum(acc, p[1], out=acc)
+                    combine(acc, p[1], out=acc)
                 else:
                     sparse_idx.append(p[1])
                     sparse_val.append(p[2])
@@ -363,8 +381,8 @@ class PartitionWorker:
                 idx, val = idx[order], val[order]
                 runs = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
                 uidx = idx[runs]
-                red = np.minimum.reduceat(val, runs)
-                acc[uidx] = np.minimum(acc[uidx], red)
+                red = combine.reduceat(val, runs)
+                acc[uidx] = combine(acc[uidx], red)
             has = acc != identity
         return acc, has
 
@@ -430,7 +448,7 @@ class PartitionWorker:
                     vals = out.send_value[blk.gather_local].astype(
                         dtype, copy=True)
                     if prog.use_edge_weights and blk.weight is not None:
-                        vals *= blk.weight
+                        _combine_weight(vals, blk.weight, prog.edge_combine)
                 else:
                     mask_e = out.send_mask[blk.gather_local]
                     if out.target_range is not None:
@@ -440,7 +458,8 @@ class PartitionWorker:
                     vals = out.send_value[blk.gather_local[mask_e]].astype(
                         dtype, copy=True)
                     if prog.use_edge_weights and blk.weight is not None:
-                        vals *= blk.weight[mask_e]
+                        _combine_weight(vals, blk.weight[mask_e],
+                                        prog.edge_combine)
             else:
                 if out.target_range is not None and len(eidx):
                     lo, hi = out.target_range
@@ -452,7 +471,7 @@ class PartitionWorker:
                 vals = out.send_value[blk.gather_local[eidx]].astype(
                     dtype, copy=True)
                 if prog.use_edge_weights and blk.weight is not None:
-                    vals *= blk.weight[eidx]
+                    _combine_weight(vals, blk.weight[eidx], prog.edge_combine)
                 order = np.argsort(keys, kind="stable")
                 keys, vals = keys[order], vals[order]
             sent_edges += len(keys)
@@ -466,8 +485,10 @@ class PartitionWorker:
             runs = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
             if prog.reducer == SUM:
                 red = np.add.reduceat(vals, runs)
-            else:  # MIN
+            elif prog.reducer == MIN:
                 red = np.minimum.reduceat(vals, runs)
+            else:  # OR
+                red = np.bitwise_or.reduceat(vals, runs)
             per_block.append((keys[runs], red))
         payloads = [None] * P
         if per_block:
@@ -479,8 +500,9 @@ class PartitionWorker:
                 order = np.argsort(ukeys, kind="stable")
                 ukeys, red = ukeys[order], red[order]
                 runs = np.flatnonzero(np.r_[True, ukeys[1:] != ukeys[:-1]])
-                red = (np.add.reduceat(red, runs) if prog.reducer == SUM
-                       else np.minimum.reduceat(red, runs))
+                op = {SUM: np.add, MIN: np.minimum,
+                      OR: np.bitwise_or}[prog.reducer]
+                red = op.reduceat(red, runs)
                 ukeys = ukeys[runs]
             bounds = np.searchsorted(ukeys, np.arange(P + 1) * n_max)
             for q in range(P):
@@ -702,6 +724,11 @@ class SuperstepEngine:
                 prev = [w.reemit.options(num_returns=2).remote()[0]
                         for w in self.workers]
 
+        if program.needs_master:
+            return self._run_master(program, max_iterations, start_iter, prev,
+                                    checkpoint_dir, checkpoint_interval,
+                                    collect)
+
         LAG = 2  # pipeline depth: convergence checked this many iterations behind
         t0 = time.perf_counter()
         pending: list[tuple[int, list]] = []
@@ -777,6 +804,57 @@ class SuperstepEngine:
             ran_iterations=ran, converged=converged, metrics=metrics,
             state_refs=state_refs, state_keys=keys, total_wall_sec=total_wall,
         )
+
+    def _run_master(self, program, max_iterations, start_iter, prev,
+                    checkpoint_dir, checkpoint_interval, collect):
+        """Barriered loop for programs with a masterCompute step: every
+        superstep's partials are combined on the driver and applied on
+        all partitions before the next compute (≙ Pregel.masterCompute —
+        the barrier is inherent, so no pipelining here)."""
+        metrics: list[dict] = []
+        master_value = None
+        converged = False
+        ran = max_iterations
+        checkpoint_iters: list[int] = []
+        t0 = time.perf_counter()
+        for it in range(start_iter, max_iterations):
+            ck = (checkpoint_dir
+                  if checkpoint_interval and checkpoint_dir and
+                  (it % checkpoint_interval == 0 or it == max_iterations - 1)
+                  else None)
+            pairs = [w.superstep.options(num_returns=2).remote(
+                it, prev, ck, master_value) for w in self.workers]
+            stats = ray.get([p[1] for p in pairs])
+            prev = [p[0] for p in pairs]
+            metrics.append({
+                "iteration": it,
+                "wall_sec": max(s["wall_sec"] for s in stats),
+                "sent_edges": sum(s["sent_edges"] for s in stats),
+                "changed": sum(s["changed"] for s in stats),
+                "active": sum(s["active"] for s in stats),
+            })
+            if any(s.get("checkpointed") for s in stats):
+                checkpoint_iters.append(it)
+            if it > start_iter and all(
+                    s.get("master_converged_local", False) for s in stats):
+                converged, ran = True, it
+                break
+            master_value = program.master_combine(
+                [s.get("master_partial") for s in stats])
+        total_wall = time.perf_counter() - t0
+        for m in metrics:
+            m["edges_per_sec"] = (m["sent_edges"] / m["wall_sec"]
+                                  if m["wall_sec"] > 0 else 0.0)
+        if checkpoint_dir:
+            by_iter = {m["iteration"]: m for m in metrics}
+            for it in checkpoint_iters:
+                self._write_manifest(it, checkpoint_dir, by_iter.get(it, {}))
+        keys = collect if collect is not None else program.state_keys
+        state_refs = [w.get_state_table.remote(keys) for w in self.workers]
+        ray.wait(state_refs, num_returns=len(state_refs))
+        return SuperstepResult(
+            ran_iterations=ran, converged=converged, metrics=metrics,
+            state_refs=state_refs, state_keys=keys, total_wall_sec=total_wall)
 
     def _write_manifest(self, it: int, ckpt_dir: str, metric: dict) -> None:
         manifest = {

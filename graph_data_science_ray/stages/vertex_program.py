@@ -28,12 +28,14 @@ import numpy as np
 
 SUM = "sum"
 MIN = "min"
+OR = "or"      # bitwise OR over int64 bitmasks (multi-source BFS)
 VOTE = "vote"
 
 REDUCER_IDENTITY = {
     (SUM, "float64"): 0.0,
     (MIN, "float64"): np.inf,
     (MIN, "int64"): np.iinfo(np.int64).max,
+    (OR, "int64"): 0,
 }
 
 
@@ -47,6 +49,7 @@ class StepOutput:
     changed: int = 0                 # program-specific change count (LP convergence)
     vote_weight: np.ndarray | None = None  # [n_local] per-sender vote weight (vote reducer)
     target_range: tuple[int, int] | None = None  # only scatter to global vids in [lo, hi)
+    master_partial: object = None    # per-partition contribution to masterCompute
 
 
 class WorkerContext:
@@ -114,11 +117,24 @@ class VertexProgram:
     reducer: str = SUM
     flow: str = "out"
     msg_dtype: str = "float64"
-    use_edge_weights: bool = False   # multiply each scalar message by the edge weight
+    use_edge_weights: bool = False   # combine each scalar message with the edge weight
+    edge_combine: str = "mul"        # 'mul' (PageRank weighting) | 'add' (SSSP relaxation)
     state_keys: tuple[str, ...] = ()  # columns persisted in checkpoints/results
+    needs_master: bool = False       # barriered masterCompute between supersteps
 
     def identity(self):
         return REDUCER_IDENTITY.get((self.reducer, self.msg_dtype))
+
+    # masterCompute hooks (≙ PregelComputation.masterCompute): combine the
+    # per-partition StepOutput.master_partial values on the driver, then
+    # apply the combined value on every partition BEFORE the next compute.
+    def master_combine(self, partials: list):
+        raise NotImplementedError
+
+    def apply_master(self, ctx: "WorkerContext", state: dict,
+                     master_value) -> bool:
+        """Returns this partition's local convergence flag."""
+        raise NotImplementedError
 
     def init_state(self, ctx: WorkerContext) -> dict[str, np.ndarray]:
         raise NotImplementedError
