@@ -138,7 +138,7 @@ def run_scaling_child(num_cpus: int) -> dict:
     """One scaling measurement at a given cpu count, on a SHARED cached
     repo graph (fixed P=32 layout → byte-identical work at both levels).
     Also times the CPU-bound edge-derivation phase separately."""
-    n_repos = int(os.environ.get("GRAFT_SCALING_REPOS", "500000"))
+    n_repos = int(os.environ.get("GRAFT_SCALING_REPOS", "1500000"))
     P = 32
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -228,6 +228,10 @@ def run_scaling() -> dict:
         "runs": results,
         "scaling_efficiency_superstep": eff(
             r8["superstep_edges_per_sec"], r32["superstep_edges_per_sec"]),
+        "scaling_efficiency_pagerank": eff(
+            1.0 / r8["pagerank_sec"], 1.0 / r32["pagerank_sec"]),
+        "scaling_efficiency_wcc": eff(
+            1.0 / r8["wcc_sec"], 1.0 / r32["wcc_sec"]),
         "scaling_efficiency_derivation": eff(
             r8["derive_rows_per_sec"], r32["derive_rows_per_sec"]),
     }
