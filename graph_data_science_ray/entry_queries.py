@@ -268,6 +268,67 @@ def q_token_counts(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_collapse_path(sf_dir: str):
+    """customer→nation→region contracted to customer→region edges."""
+    from .pipelines.collapse_path import collapse_path
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def to_edges_c(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["c_custkey"].cast(pa.int64()),
+                         "dst": t["c_nationkey"].cast(pa.int64())})
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+
+    def to_edges_n(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["n_nationkey"].cast(pa.int64()),
+                         "dst": t["n_regionkey"].cast(pa.int64())})
+
+    return collapse_path(
+        cust.map_batches(to_edges_c, batch_format="pyarrow"),
+        nat.map_batches(to_edges_n, batch_format="pyarrow"))
+
+
+def q_node_similarity(sf_dir: str):
+    """Jaccard similarity of co-supply neighbor sets (pairs ≥ 0.1)."""
+    from .pipelines.similarity_graph import node_similarity
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    df = node_similarity(graph, top_k=None, similarity_cutoff=0.1)
+    df = df[df["node1"].isin(suppkeys)]
+    return pa.table({
+        "node1": df["node1"].to_numpy(np.int64),
+        "node2": df["node2"].to_numpy(np.int64),
+        "similarity": np.round(df["similarity"].to_numpy(), _ROUND),
+    })
+
+
+def q_bfs_hops(sf_dir: str):
+    """Hop distances from the smallest supplier key on the co-supply
+    graph (-1 = unreachable)."""
+    from .pipelines.traversal import bfs
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    res = bfs(graph, source_vid=int(suppkeys.min()))
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "dist": df["dist"].to_numpy(np.int64),
+    })
+
+
+def q_closeness(sf_dir: str):
+    """Closeness + harmonic centrality on the co-supply graph."""
+    from .pipelines.traversal import closeness_harmonic
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    df = closeness_harmonic(graph, flow="out")
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "closeness": np.round(df["closeness"].to_numpy(), _ROUND),
+        "harmonic_raw": np.round(
+            df["harmonic"].to_numpy() * (graph.n - 1), _ROUND),
+    })
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-vote language ID (heuristic — rows-only check)."""
     from .functions.text import language_id
@@ -440,6 +501,55 @@ FROM supplier s
 LEFT JOIN cnt ON cnt.v = s.s_suppkey
 LEFT JOIN deg ON deg.k = s.s_suppkey
 ORDER BY s.s_suppkey""",
+    "collapse_path": """
+SELECT DISTINCT CAST(c.c_custkey AS BIGINT) AS src,
+       CAST(n.n_regionkey AS BIGINT) AS dst
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY src, dst""",
+    "node_similarity": f"""
+WITH {_CO_SUPPLY_SQL.strip()},
+deg AS (SELECT src, COUNT(*) AS d FROM co_sym GROUP BY src),
+inter AS (
+    SELECT a.src AS n1, b.src AS n2, COUNT(*) AS i
+    FROM co_sym a JOIN co_sym b ON a.dst = b.dst AND a.src <> b.src
+    GROUP BY 1, 2)
+SELECT n1 AS node1, n2 AS node2,
+       ROUND(i * 1.0 / (da.d + db.d - i), {_ROUND}) AS similarity
+FROM inter JOIN deg da ON da.src = inter.n1
+           JOIN deg db ON db.src = inter.n2
+WHERE i * 1.0 / (da.d + db.d - i) >= 0.1
+ORDER BY node1, node2""",
+    "bfs_hops": f"""
+WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
+srcn AS (SELECT MIN(s_suppkey) AS s FROM supplier),
+reach(v, d) AS (
+    SELECT s, 0 FROM srcn
+    UNION
+    SELECT e.dst, reach.d + 1
+    FROM reach JOIN co_sym e ON e.src = reach.v WHERE reach.d < 20
+),
+dist AS (SELECT v, MIN(d) AS d FROM reach GROUP BY v)
+SELECT s.s_suppkey, CAST(COALESCE(dist.d, -1) AS BIGINT) AS dist
+FROM supplier s LEFT JOIN dist ON dist.v = s.s_suppkey
+ORDER BY s.s_suppkey""",
+    "closeness": f"""
+WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
+reach(s, v, d) AS (
+    SELECT s_suppkey, s_suppkey, 0 FROM supplier
+    UNION
+    SELECT reach.s, e.dst, reach.d + 1
+    FROM reach JOIN co_sym e ON e.src = reach.v WHERE reach.d < 20
+),
+dist AS (SELECT s, v, MIN(d) AS d FROM reach GROUP BY s, v),
+agg AS (SELECT v, SUM(d) AS farness, COUNT(*) AS reached,
+               SUM(1.0 / d) AS recip
+        FROM dist WHERE d > 0 GROUP BY v)
+SELECT s.s_suppkey,
+       ROUND(COALESCE(agg.reached * 1.0 / agg.farness, 0), {_ROUND})
+           AS closeness,
+       ROUND(COALESCE(agg.recip, 0), {_ROUND}) AS harmonic_raw
+FROM supplier s LEFT JOIN agg ON agg.v = s.s_suppkey
+ORDER BY s.s_suppkey""",
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -520,4 +630,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
+    "collapse_path": q_collapse_path,
+    "node_similarity": q_node_similarity,
+    "bfs_hops": q_bfs_hops,
+    "closeness": q_closeness,
 }
