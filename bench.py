@@ -24,8 +24,8 @@ import time
 
 BENCH_DIR = "/tmp/graft_bench"
 SKIP_QUERIES = {"triangle_count", "local_clustering", "co_supply_edges",
-                "label_propagation"}  # superlinear on the near-complete
-                                      # sf0.1 co-supply graph / rows-only
+                "node_similarity",   # superlinear on the near-complete
+                "label_propagation"}  # sf0.1 co-supply graph / rows-only
 
 
 def log(msg: str) -> None:
