@@ -1,0 +1,106 @@
+"""Betweenness (Brandes supersteps), K1 coloring, KMeans."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from graph_data_science_ray.stages.superstep import PartitionedGraph
+from graph_data_science_ray.pipelines.betweenness import betweenness
+from graph_data_science_ray.pipelines.coloring import k1_coloring
+from graph_data_science_ray.pipelines.kmeans import kmeans
+
+from conftest import random_graph
+
+
+def brandes_oracle(n, src, dst):
+    adj = collections.defaultdict(list)
+    radj = collections.defaultdict(list)
+    for a, b in zip(src, dst):
+        adj[a].append(b)
+        radj[b].append(a)
+    bc = np.zeros(n)
+    for s in range(n):
+        dist = np.full(n, -1)
+        sigma = np.zeros(n)
+        dist[s] = 0
+        sigma[s] = 1
+        frontier = [s]
+        levels = [[s]]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in adj[v]:
+                    if dist[w] < 0:
+                        dist[w] = dist[v] + 1
+                        nxt.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            if nxt:
+                levels.append(nxt)
+            frontier = nxt
+        delta = np.zeros(n)
+        for lvl in reversed(levels[1:]):
+            for w in lvl:
+                for u in radj[w]:
+                    if dist[u] == dist[w] - 1:
+                        delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+        delta[s] = 0
+        bc += delta
+    return bc
+
+
+def _simple_graph(n, m, seed):
+    src, dst, _ = random_graph(n, m, seed=seed)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_betweenness_exact_vs_brandes(ray_session, num_parts):
+    src, dst = _simple_graph(50, 250, seed=7)
+    g = PartitionedGraph.from_arrays(50, src, dst)
+    got = betweenness(g, num_parts=num_parts)
+    assert np.allclose(got["score"].to_numpy(),
+                       brandes_oracle(50, src, dst), atol=1e-9)
+
+
+def test_betweenness_sampled_subset(ray_session):
+    src, dst = _simple_graph(40, 160, seed=11)
+    g = PartitionedGraph.from_arrays(40, src, dst)
+    sources = np.array([0, 5, 9])
+    got = betweenness(g, sources=sources, num_parts=2)
+    # oracle restricted to the same sources
+    full = np.zeros(40)
+    for s in sources:
+        one = betweenness(PartitionedGraph.from_arrays(40, src, dst),
+                          sources=np.array([s]), num_parts=2)
+        full += one["score"].to_numpy()
+    assert np.allclose(got["score"].to_numpy(), full, atol=1e-9)
+
+
+def test_k1_coloring_proper(ray_session):
+    src, dst, _ = random_graph(200, 1000, seed=9)
+    g = PartitionedGraph.from_arrays(200, src, dst)
+    res = k1_coloring(g, num_parts=4)
+    assert res.converged
+    colors = res.to_pandas()["color"].to_numpy()
+    for a, b in zip(src, dst):
+        if a != b:
+            assert colors[a] != colors[b]
+
+
+def test_kmeans_separates_clusters(ray_session):
+    rng = np.random.default_rng(1)
+    vecs = np.vstack([rng.normal(0, 1, (100, 8)), rng.normal(8, 1, (100, 8))])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+    }))
+    assign, centroids, iters = kmeans(ds, 2, max_iterations=20)
+    a = assign.sort_values("vec_id")["cluster"].to_numpy()
+    assert len(set(a[:100])) == 1 and len(set(a[100:])) == 1
+    assert a[0] != a[150]
+    assert centroids.shape == (2, 8)
