@@ -24,8 +24,8 @@ import time
 
 BENCH_DIR = "/tmp/graft_bench"
 SKIP_QUERIES = {"triangle_count", "local_clustering", "co_supply_edges",
-                "node_similarity",   # superlinear on the near-complete
-                "label_propagation"}  # sf0.1 co-supply graph / rows-only
+                "node_similarity", "louvain",  # superlinear on the
+                "label_propagation"}  # near-complete sf0.1 co-supply graph
 
 
 def log(msg: str) -> None:

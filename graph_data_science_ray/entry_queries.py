@@ -329,6 +329,83 @@ def q_closeness(sf_dir: str):
     })
 
 
+def q_louvain(sf_dir: str):
+    """Louvain communities on the co-supply graph (rows-only)."""
+    from .pipelines.louvain import louvain
+    suppkeys, graph, u, v = _co_supply_graph(sf_dir)
+    # undirected input: one direction per edge (louvain symmetrizes)
+    und = PartitionedGraph.from_arrays(graph.n, u, v)
+    df, _mods = louvain(und)
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "community": df["community"].to_numpy(np.int64),
+    })
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities on the co-supply graph (rows-only)."""
+    from .pipelines.hits import hits
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    df = hits(graph, hits_iterations=15)
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "auth": np.round(df["auth"].to_numpy(), _ROUND),
+        "hub": np.round(df["hub"].to_numpy(), _ROUND),
+    })
+
+
+def q_betweenness(sf_dir: str):
+    """Sampled betweenness on the co-supply graph (rows-only)."""
+    from .pipelines.betweenness import betweenness
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    df = betweenness(graph, sources=suppkeys[:8])
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "score": np.round(df["score"].to_numpy(), _ROUND),
+    })
+
+
+def q_k1_coloring(sf_dir: str):
+    """Greedy parallel coloring of the customer–nation bipartite graph
+    (rows-only; the complete co-supply graph needs > 62 colors which
+    exceeds the one-round bit window)."""
+    from .pipelines.coloring import k1_coloring
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    nkeys = cust["c_nationkey"].to_numpy(np.int64)
+    offset = int(ckeys.max()) + 1
+    g = PartitionedGraph.from_arrays(offset + int(nkeys.max()) + 1,
+                                     ckeys, nkeys + offset)
+    res = k1_coloring(g)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(ckeys)]
+    return pa.table({
+        "c_custkey": df["vid"].to_numpy(np.int64),
+        "color": df["color"].to_numpy(np.int64),
+    })
+
+
+def q_kmeans(sf_dir: str):
+    """KMeans over the embeddings table (rows-only: seeded but
+    init-dependent)."""
+    from .pipelines.kmeans import kmeans
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign, _c, _i = kmeans(emb, k=8, max_iterations=10)
+    return assign
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic uniform random walks on the co-supply graph
+    (rows-only)."""
+    from .pipelines.walks import random_walks
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    return random_walks(graph, walk_length=5, walks_per_node=1, seed=42,
+                        source_vids=suppkeys[:32])
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-vote language ID (heuristic — rows-only check)."""
     from .functions.text import language_id
@@ -634,4 +711,10 @@ QUERIES = {
     "node_similarity": q_node_similarity,
     "bfs_hops": q_bfs_hops,
     "closeness": q_closeness,
+    "louvain": q_louvain,
+    "hits": q_hits,
+    "betweenness": q_betweenness,
+    "k1_coloring": q_k1_coloring,
+    "kmeans": q_kmeans,
+    "random_walks": q_random_walks,
 }

@@ -1,0 +1,70 @@
+"""Louvain + modularity and HITS."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray.stages.superstep import PartitionedGraph
+from graph_data_science_ray.pipelines.hits import hits
+from graph_data_science_ray.pipelines.louvain import louvain, modularity
+
+from conftest import random_graph
+
+
+def two_cliques():
+    edges = []
+    for base in (0, 6):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    edges.append((0, 6))
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    return src, dst
+
+
+def test_louvain_two_cliques():
+    src, dst = two_cliques()
+    g = PartitionedGraph.from_arrays(12, src, dst)
+    df, mods = louvain(g)
+    comm = df["community"].to_numpy()
+    assert len(set(comm[:6])) == 1 and len(set(comm[6:])) == 1
+    assert comm[0] != comm[6]
+    assert mods[-1] > 0.4
+
+
+def test_louvain_improves_modularity():
+    src, dst, _ = random_graph(300, 1200, seed=3)
+    g = PartitionedGraph.from_arrays(300, src, dst)
+    df, mods = louvain(g)
+    q_singleton = modularity(300, src, dst, None, np.arange(300))
+    assert mods[-1] > q_singleton
+    assert mods == sorted(mods)  # monotone per level
+    # deterministic
+    df2, mods2 = louvain(PartitionedGraph.from_arrays(300, src, dst))
+    assert df.equals(df2) and mods == mods2
+
+
+def test_modularity_known_value():
+    # single undirected edge, both endpoints together: Q = 0
+    q = modularity(2, np.array([0]), np.array([1]), None,
+                   np.array([0, 0]))
+    assert abs(q - 0.0) < 1e-12
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_hits_vs_power_iteration(ray_session, num_parts):
+    src, dst, _ = random_graph(150, 900, seed=12)
+    g = PartitionedGraph.from_arrays(150, src, dst)
+    df = hits(g, hits_iterations=25, num_parts=num_parts).sort_values("vid")
+    A = np.zeros((150, 150))
+    for a, b in zip(src, dst):
+        A[a, b] += 1.0
+    auth = np.ones(150)
+    hub = np.ones(150)
+    for _ in range(25):
+        auth = A.T @ hub
+        hub = A @ auth
+    auth /= np.linalg.norm(auth)
+    hub /= np.linalg.norm(hub)
+    assert np.allclose(df["auth"].to_numpy(), auth, atol=1e-8)
+    assert np.allclose(df["hub"].to_numpy(), hub, atol=1e-8)
