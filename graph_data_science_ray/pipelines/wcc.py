@@ -43,7 +43,14 @@ def _local_min_labels(n_local: int, gids: np.ndarray,
         pu, pv = parent[ui], parent[vi]
         hi = np.maximum(pu, pv)
         lo = np.minimum(pu, pv)
-        np.minimum.at(parent, hi, lo)
+        # segmented min-hook (sort+reduceat; np.minimum.at is ~10× slower
+        # at block scale and dominated WCC init time)
+        order = np.argsort(hi, kind="stable")
+        hs, ls = hi[order], lo[order]
+        runs = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        uh = hs[runs]
+        ml = np.minimum.reduceat(ls, runs)
+        parent[uh] = np.minimum(parent[uh], ml)
         while True:
             pp = parent[parent]
             if np.array_equal(pp, parent):
