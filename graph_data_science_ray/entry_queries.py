@@ -231,6 +231,45 @@ def q_events_hourly(sf_dir: str):
 # Documents / text
 # ---------------------------------------------------------------------------
 
+def q_sessionize(sf_dir: str):
+    """Session windows per user (gap > 30 min starts a new session) —
+    the streaming-shaped workload pattern: events as an ordered log,
+    bucketed by user, per-group pandas windowing over sorted timestamps."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = df["user_id"].to_numpy() % 16
+        return df
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in group.groupby("user_id", sort=False):
+            g = g.sort_values("ts")
+            epoch = g["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+            brk = np.r_[1, (np.diff(epoch) > 1800).astype(np.int64)]
+            sess = np.cumsum(brk)
+            df = pd.DataFrame({"user_id": uid, "session_id": sess,
+                               "epoch": epoch})
+            agg = df.groupby("session_id").agg(
+                n_events=("epoch", "size"),
+                start_epoch=("epoch", "min"),
+                end_epoch=("epoch", "max")).reset_index()
+            agg.insert(0, "user_id", uid)
+            out.append(agg)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"user_id": [], "session_id": [], "n_events": [],
+             "start_epoch": [], "end_epoch": []})
+
+    out = (ev.map_batches(add_bucket, batch_format="pandas")
+           .groupby("__bucket").map_groups(sessionize, batch_format="pandas")
+           .to_pandas())
+    for c in ("user_id", "session_id", "n_events", "start_epoch",
+              "end_epoch"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact duplicate groups by full text: keeper = min doc_id."""
     from ray.data.aggregate import Count, Min
@@ -652,6 +691,26 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "exact_dedup": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id""",
+    "sessionize": """
+WITH x AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+y AS (
+    SELECT user_id, es,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(es) AS start_epoch,
+       MAX(es) AS end_epoch
+FROM y GROUP BY 1, 2 ORDER BY 1, 2""",
     "ann_topk": f"""
 WITH sims AS (
     SELECT q.vec_id AS query_id, e.vec_id,
@@ -699,6 +758,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
     "exact_dedup": q_exact_dedup,
+    "sessionize": q_sessionize,
     "token_counts": q_token_counts,
     "char_classes": q_char_classes,
     "lang_id": q_lang_id,
