@@ -368,6 +368,32 @@ def q_closeness(sf_dir: str):
     })
 
 
+def q_articlerank(sf_dir: str):
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    from .pipelines.centrality import article_rank
+    res = article_rank(graph, tolerance=0.0, max_iterations=20)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "rank": np.round(df["rank"].to_numpy(), _ROUND),
+    })
+
+
+def q_eigenvector(sf_dir: str):
+    """Eigenvector centrality (rows-only: per-iteration L2 master
+    normalization is awkward to mirror exactly in SQL)."""
+    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    from .pipelines.centrality import eigenvector
+    res = eigenvector(graph, max_iterations=20, tolerance=1e-10)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "score": np.round(df["rank"].to_numpy(), _ROUND),
+    })
+
+
 def q_louvain(sf_dir: str):
     """Louvain communities on the co-supply graph (rows-only)."""
     from .pipelines.louvain import louvain
@@ -564,7 +590,35 @@ ORDER BY s_suppkey""")
     return "\n".join(parts)
 
 
+def _articlerank_sql(iterations: int = 20, damping: float = 0.85) -> str:
+    alpha = 1.0 - damping
+    parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
+             "deg AS (SELECT src, COUNT(*) AS outdeg FROM co_sym GROUP BY src),",
+             "avgdeg AS (SELECT COUNT(*) * 1.0 /"
+             " (SELECT MAX(s_suppkey) + 1 FROM supplier) AS a FROM co_sym),",
+             "nodes AS (SELECT s_suppkey AS vid FROM supplier),",
+             f"it0 AS (SELECT vid, {alpha} AS rank FROM nodes)"]
+    for k in range(1, iterations):
+        parts.append(f""",
+it{k} AS (
+    SELECT n.vid, {alpha} + {damping} * COALESCE(c.s, 0) AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS vid, SUM(p.rank / (d.outdeg + avgdeg.a)) AS s
+        FROM co_sym e
+        JOIN it{k - 1} p ON p.vid = e.src
+        JOIN deg d ON d.src = e.src
+        CROSS JOIN avgdeg
+        GROUP BY e.dst
+    ) c ON c.vid = n.vid
+)""")
+    parts.append(f"""
+SELECT vid AS s_suppkey, ROUND(rank, {_ROUND}) AS rank FROM it{iterations - 1}
+ORDER BY s_suppkey""")
+    return "\n".join(parts)
+
+
 ORACLE_SQL = {
+    "articlerank": _articlerank_sql(),
     "co_supply_edges": f"WITH {_CO_SUPPLY_SQL.strip()} "
                        "SELECT src, dst FROM co_edges ORDER BY src, dst",
     "degree_centrality": f"""
@@ -773,6 +827,8 @@ QUERIES = {
     "node_similarity": q_node_similarity,
     "bfs_hops": q_bfs_hops,
     "closeness": q_closeness,
+    "articlerank": q_articlerank,
+    "eigenvector": q_eigenvector,
     "louvain": q_louvain,
     "hits": q_hits,
     "betweenness": q_betweenness,
