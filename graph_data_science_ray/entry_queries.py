@@ -400,7 +400,7 @@ def q_louvain(sf_dir: str):
     suppkeys, graph, u, v = _co_supply_graph(sf_dir)
     # undirected input: one direction per edge (louvain symmetrizes)
     und = PartitionedGraph.from_arrays(graph.n, u, v)
-    df, _mods = louvain(und)
+    df, _mods = louvain(und, distributed=True)
     df = df[df["vid"].isin(suppkeys)]
     return pa.table({
         "s_suppkey": df["vid"].to_numpy(np.int64),

@@ -94,10 +94,151 @@ def _local_moving(n: int, src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     return labels
 
 
+class LouvainLocalMoveProgram:
+    """Distributed local-moving phase as wave-scheduled vote supersteps.
+
+    Votes carry (community label, edge weight); the adjust_votes hook
+    rescores each candidate community c of vertex v with the modularity
+    gain  k_v,in(c) − k_v · (vol(c) − [c = own] · k_v) / 2m  and appends
+    the own community as a synthetic candidate (k_in = 0 if no neighbor
+    shares it) so "stay" competes fairly. Community volumes are
+    recomputed per superstep from per-partition partials and broadcast
+    through the masterCompute hook. With waves == n this reproduces the
+    sequential Gauss-Seidel sweep exactly."""
+
+    reducer = "vote"
+    flow = "both"
+    msg_dtype = "int64"
+    use_edge_weights = True
+    edge_combine = "mul"
+    state_keys = ("label",)
+    needs_master = True
+
+    def __init__(self, n: int, two_m: float, waves: int,
+                 self_w: np.ndarray | None = None,
+                 max_sweeps: int = 10):
+        self.n = n
+        self.two_m = two_m
+        self.waves = max(1, min(waves, n)) if n else 1
+        self.bounds = np.linspace(0, n, self.waves + 1).astype(np.int64)
+        self.self_w = self_w
+        self.max_sweeps = max_sweeps
+        self.vol = None
+        self._changed_history: list[int] = []
+
+    def identity(self):
+        return None
+
+    def init_state(self, ctx) -> dict[str, np.ndarray]:
+        gids = ctx.global_ids()
+        deg = ctx.degree("both", weighted=True).astype(np.float64)
+        if self.self_w is not None:
+            deg = deg + 2.0 * np.asarray(self.self_w, dtype=np.float64)[gids]
+        return {"label": gids.copy(), "deg": deg}
+
+    def _wave_range(self, w: int) -> tuple[int, int]:
+        return int(self.bounds[w]), int(self.bounds[w + 1])
+
+    def adjust_votes(self, idx, lbl, wgt, state):
+        # synthetic own-community candidate (k_in contribution 0)
+        uidx = np.unique(idx)
+        idx = np.concatenate([idx, uidx])
+        lbl = np.concatenate([lbl, state["label"][uidx]])
+        wgt = np.concatenate([wgt, np.zeros(len(uidx))])
+        order = np.lexsort((lbl, idx))
+        idx, lbl, wgt = idx[order], lbl[order], wgt[order]
+        grp = np.flatnonzero(
+            np.r_[True, (idx[1:] != idx[:-1]) | (lbl[1:] != lbl[:-1])])
+        idx, lbl = idx[grp], lbl[grp]
+        wgt = np.add.reduceat(wgt, grp)
+        kv = state["deg"][idx]
+        own = state["label"][idx]
+        volc = self.vol[lbl] - np.where(lbl == own, kv, 0.0)
+        gain = wgt - kv * volc / self.two_m
+        return idx, lbl, gain
+
+    def compute(self, ctx, state, msgs, has_msg, active, iteration):
+        from ..stages.vertex_program import StepOutput
+        label = state["label"]
+        changed = 0
+        if iteration > 0 and msgs is not None:
+            lo, hi = self._wave_range((iteration - 1) % self.waves)
+            gids = ctx.global_ids()
+            upd = has_msg & (gids >= lo) & (gids < hi)
+            new_label = np.where(upd, msgs, label)
+            changed = int((new_label != label).sum())
+            state["label"] = new_label
+            label = new_label
+        # per-partition volume partial for the master
+        ulbl, inv = np.unique(label, return_inverse=True)
+        vols = np.bincount(inv, weights=state["deg"])
+        return StepOutput(
+            send_mask=np.ones(ctx.n_local, dtype=bool),
+            send_value=label,
+            changed=changed,
+            target_range=self._wave_range(iteration % self.waves),
+            master_partial=(ulbl, vols, changed),
+        )
+
+    def master_combine(self, partials):
+        vol = np.zeros(self.n)
+        changed = 0
+        for p in partials:
+            if p is None:
+                continue
+            ulbl, vols, ch = p
+            vol[ulbl] += vols
+            changed += ch
+        return (vol, changed)
+
+    def apply_master(self, ctx, state, master_value) -> bool:
+        vol, changed = master_value
+        self.vol = vol
+        self._changed_history.append(changed)
+        h = self._changed_history
+        # converged when a full sweep (waves supersteps) moved nothing,
+        # excluding the seeding superstep; cap total sweeps
+        if len(h) >= self.waves + 1 and sum(h[-self.waves:]) == 0:
+            return True
+        return len(h) > self.max_sweeps * self.waves
+
+
+def louvain_distributed_level(
+    graph: PartitionedGraph,
+    waves: int | None = None,
+    max_sweeps: int = 10,
+    self_w: np.ndarray | None = None,
+    num_parts: int | None = None,
+) -> np.ndarray:
+    """One level of distributed local-moving; returns per-vid labels."""
+    from ..stages.superstep import SuperstepEngine
+    n = graph.n
+    w = (np.ones(len(graph.src)) if graph.weight is None
+         else graph.weight.astype(np.float64))
+    two_m = 2.0 * (w.sum() + (self_w.sum() if self_w is not None else 0.0))
+    if two_m == 0:
+        return np.arange(n, dtype=np.int64)
+    if waves is None:
+        waves = n if n <= 2048 else 16
+    prog = LouvainLocalMoveProgram(n, two_m, waves, self_w=self_w,
+                                   max_sweeps=max_sweeps)
+    eng = SuperstepEngine(graph, num_parts=num_parts)
+    try:
+        res = eng.run(prog, max_iterations=max_sweeps * prog.waves + 2,
+                      collect=("label",))
+    finally:
+        eng.shutdown()
+    df = res.to_pandas()
+    labels = np.arange(n, dtype=np.int64)
+    labels[df["vid"].to_numpy()] = df["label"].to_numpy()
+    return labels
+
+
 def louvain(
     graph: PartitionedGraph,
     max_levels: int = 10,
     max_sweeps: int = 10,
+    distributed: bool = False,
 ) -> tuple[pd.DataFrame, list[float]]:
     """Returns ((vid, community), modularity per level). Community ids
     are representative original vids (stable across runs)."""
@@ -116,7 +257,16 @@ def louvain(
         cur_n = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1) if len(src) else 0
         if cur_n == 0:
             break
-        labels = _local_moving(cur_n, src, dst, w, max_sweeps=max_sweeps)
+        if distributed:
+            sl = src == dst
+            self_w = np.bincount(src[sl], weights=w[sl], minlength=cur_n)
+            level_graph = PartitionedGraph.from_arrays(
+                cur_n, src[~sl], dst[~sl], w[~sl])
+            labels = louvain_distributed_level(level_graph,
+                                               max_sweeps=max_sweeps,
+                                               self_w=self_w)
+        else:
+            labels = _local_moving(cur_n, src, dst, w, max_sweeps=max_sweeps)
         q = modularity(cur_n, src, dst, w, labels)
         if mods and q <= mods[-1] + 1e-12:
             break

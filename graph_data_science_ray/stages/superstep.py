@@ -401,6 +401,13 @@ class PartitionWorker:
         grp = np.flatnonzero(np.r_[True, (idx[1:] != idx[:-1]) | (lbl[1:] != lbl[:-1])])
         idx, lbl = idx[grp], lbl[grp]
         wgt = np.add.reduceat(wgt, grp)
+        # program hook: rescore the per-(vertex, label) vote sums (e.g.
+        # Louvain modularity gain) and/or add synthetic candidates
+        if hasattr(self.program, "adjust_votes"):
+            idx, lbl, wgt = self.program.adjust_votes(idx, lbl, wgt,
+                                                      self.state)
+            order = np.lexsort((lbl, idx))
+            idx, lbl, wgt = idx[order], lbl[order], wgt[order]
         # winner per idx: max weight, tie -> smaller label (lbl already asc)
         order = np.lexsort((lbl, -wgt, idx))
         idx, lbl = idx[order], lbl[order]

@@ -51,6 +51,30 @@ def test_modularity_known_value():
     assert abs(q - 0.0) < 1e-12
 
 
+def test_louvain_distributed_matches_sequential(ray_session):
+    """waves == n reproduces the sequential Gauss-Seidel local moving
+    exactly through the distributed vote/master machinery."""
+    src, dst, _ = random_graph(120, 500, seed=3)
+    pairs = np.unique(np.stack([np.minimum(src, dst),
+                                np.maximum(src, dst)], axis=1), axis=0)
+    u, v = pairs[:, 0], pairs[:, 1]
+    df_d, mods_d = louvain(PartitionedGraph.from_arrays(120, u, v),
+                           distributed=True)
+    df_s, mods_s = louvain(PartitionedGraph.from_arrays(120, u, v),
+                           distributed=False)
+    assert df_d.equals(df_s)
+    assert mods_d == mods_s
+
+
+def test_louvain_distributed_cliques(ray_session):
+    src, dst = two_cliques()
+    df, mods = louvain(PartitionedGraph.from_arrays(12, src, dst),
+                       distributed=True)
+    comm = df["community"].to_numpy()
+    assert len(set(comm[:6])) == 1 and len(set(comm[6:])) == 1
+    assert comm[0] != comm[6]
+
+
 @pytest.mark.parametrize("num_parts", [1, 3])
 def test_hits_vs_power_iteration(ray_session, num_parts):
     src, dst, _ = random_graph(150, 900, seed=12)
