@@ -21,3 +21,29 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (avoids importing ray at package import time)."""
+    surface = {
+        "PartitionedGraph": ("graph_data_science_ray.stages.superstep",
+                             "PartitionedGraph"),
+        "SuperstepEngine": ("graph_data_science_ray.stages.superstep",
+                            "SuperstepEngine"),
+        "GraphCatalog": ("graph_data_science_ray.catalog", "GraphCatalog"),
+        "pagerank": ("graph_data_science_ray.pipelines.pagerank", "pagerank"),
+        "wcc": ("graph_data_science_ray.pipelines.wcc", "wcc"),
+        "label_propagation": ("graph_data_science_ray.pipelines.labelprop",
+                              "label_propagation"),
+        "triangle_count": ("graph_data_science_ray.pipelines.triangles",
+                           "triangle_count"),
+        "louvain": ("graph_data_science_ray.pipelines.louvain", "louvain"),
+        "build_graph_from_repos": (
+            "graph_data_science_ray.pipelines.graph_pipeline",
+            "build_graph_from_repos"),
+    }
+    if name in surface:
+        import importlib
+        mod, attr = surface[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
