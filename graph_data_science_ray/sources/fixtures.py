@@ -61,11 +61,17 @@ def pagerank_wiki() -> FixtureGraph:
         0.048318333106500536, 0.17053529152163158, 0.048318333106500536,
         0.0, 0.0, 0.0, 0.0, 0.0,
     ])
+    expected_personalized_2 = np.array([  # sourceNodes {k, b}
+        0.017454997930076894, 0.813246950528992, 0.690991752640184,
+        0.041070583050331164, 0.1449550029964717, 0.041070583050331164,
+        0.0, 0.0, 0.0, 0.0, 0.15000000000000002,
+    ])
     return FixtureGraph(
         name="pagerank_wiki", n=11, node_names=names, src=src, dst=dst,
         expected={
             "rank": expected_rank,
             "personalized_ae": expected_personalized_1,
+            "personalized_kb": expected_personalized_2,
             "tolerance_iterations": {0.5: 2, 0.1: 13},
         },
     )

@@ -46,6 +46,11 @@ def test_pagerank_personalized(ray_session):
                    source_vids=[g.vid("a"), g.vid("e")])
     assert np.allclose(res.to_pandas()["rank"], g.expected["personalized_ae"],
                        atol=1e-5)
+    res = pagerank(PartitionedGraph.from_arrays(g.n, g.src, g.dst),
+                   tolerance=0, max_iterations=41, num_parts=4,
+                   source_vids=[g.vid("k"), g.vid("b")])
+    assert np.allclose(res.to_pandas()["rank"], g.expected["personalized_kb"],
+                       atol=1e-5)
 
 
 def test_pagerank_doc_weighted(ray_session):
