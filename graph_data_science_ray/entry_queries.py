@@ -514,6 +514,32 @@ def q_ann_topk(sf_dir: str):
     return out
 
 
+def q_knn(sf_dir: str):
+    """Exact KNN (top-5 cosine neighbors per vector, self excluded) —
+    the brute-force baseline of gds.knn; NN-descent is the approximate
+    scale path (SURVEY §2.5)."""
+    from .functions.ann import brute_force_topk
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.to_pandas().sort_values("vec_id")
+    ids_sorted = head["vec_id"].to_numpy(np.int64)
+    queries = np.array([np.asarray(v, dtype=np.float64)
+                        for v in head["embedding"]])
+    out = brute_force_topk(emb, queries, k=6)
+    out["node"] = ids_sorted[out["query_id"].to_numpy()]
+    out = out[out["node"] != out["vec_id"]]
+    out = (out.sort_values(["node", "score", "vec_id"],
+                           ascending=[True, False, True])
+           .groupby("node", sort=False).head(5))
+    out = out.reset_index(drop=True)
+    out["rank"] = out.groupby("node").cumcount() + 1
+    return pa.table({
+        "node": out["node"].to_numpy(np.int64),
+        "neighbor": out["vec_id"].to_numpy(np.int64),
+        "score": np.round(out["score"].to_numpy(), _ROUND),
+        "rank": out["rank"].to_numpy(np.int64),
+    })
+
+
 def q_embedding_neardup(sf_dir: str):
     """LSH-bucketed cosine near-duplicate pairs (rows-only check)."""
     from .functions.ann import embedding_neardup
@@ -779,6 +805,20 @@ ranked AS (
 )
 SELECT query_id, vec_id, ROUND(score, {_ROUND}) AS score, rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "knn": f"""
+WITH sims AS (
+    SELECT q.vec_id AS node, e.vec_id AS neighbor,
+           list_cosine_similarity(q.embedding, e.embedding) AS score
+    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+),
+ranked AS (
+    SELECT node, neighbor, score,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY score DESC, neighbor) AS rank
+    FROM sims
+)
+SELECT node, neighbor, ROUND(score, {_ROUND}) AS score, rank
+FROM ranked WHERE rank <= 5 ORDER BY node, rank""",
     "minmax_scale": f"""
 WITH st AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer)
 SELECT c_custkey,
@@ -821,6 +861,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "ann_topk": q_ann_topk,
+    "knn": q_knn,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
     "collapse_path": q_collapse_path,
