@@ -793,8 +793,12 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM y GROUP BY 1, 2 ORDER BY 1, 2""",
     "ann_topk": f"""
 WITH sims AS (
+    -- cast to float64 first: DuckDB would otherwise score in float32
+    -- (embedding is list<float>) while the Ray side scores in float64,
+    -- and ~1.5% of pairs differ at 6-decimal rounding
     SELECT q.vec_id AS query_id, e.vec_id,
-           list_cosine_similarity(q.embedding, e.embedding) AS score
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])) AS score
     FROM embeddings q JOIN embeddings e ON q.vec_id < 4
 ),
 ranked AS (
@@ -807,8 +811,10 @@ SELECT query_id, vec_id, ROUND(score, {_ROUND}) AS score, rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     "knn": f"""
 WITH sims AS (
+    -- CAST to DOUBLE[] — see ann_topk comment (float32 vs float64 scoring)
     SELECT q.vec_id AS node, e.vec_id AS neighbor,
-           list_cosine_similarity(q.embedding, e.embedding) AS score
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])) AS score
     FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
 ),
 ranked AS (
