@@ -28,7 +28,7 @@ def entry() -> Any:
     from graph_data_science_ray.pipelines.pagerank import pagerank
     from graph_data_science_ray.pipelines.wcc import wcc
 
-    suppkeys, graph, _, _ = _co_supply_graph(SF_SMALL)
+    suppkeys, graph = _co_supply_graph(SF_SMALL)
     ranks = pagerank(graph, tolerance=0.0, max_iterations=20).to_pandas()
     comps = wcc(graph).to_pandas()
     merged = ranks.merge(comps, on="vid")

@@ -76,23 +76,49 @@ def co_supply_edges_ds(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 _graph_cache: dict = {}
 
 
-def _co_supply_graph(sf_dir: str):
-    """(suppkeys sorted array, PartitionedGraph over vid=s_suppkey,
-    undirected edge arrays u<v). Cached per sf_dir within a session."""
-    if sf_dir in _graph_cache:
-        return _graph_cache[sf_dir]
-    edges = co_supply_edges_ds(sf_dir).to_pandas()
-    u = edges["src"].to_numpy(dtype=np.int64)
-    v = edges["dst"].to_numpy(dtype=np.int64)
+def _suppkeys(sf_dir: str) -> np.ndarray:
     supp = _read(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
-    suppkeys = np.sort(supp["s_suppkey"].to_numpy(dtype=np.int64))
+    return np.sort(supp["s_suppkey"].to_numpy(dtype=np.int64))
+
+
+def _co_supply_graph(sf_dir: str, variant: str = "sym"):
+    """(suppkeys sorted array, PartitionedGraph over vid=s_suppkey).
+
+    The graph is built through the DISTRIBUTED parquet block path
+    (sources.graph_build.build_int_graph → partitioned out/in layout →
+    PartitionedGraph.from_manifest) so the driver-contract queries
+    validate the same build + load_blocks_parquet path a 100 TB run
+    uses — no driver-resident edge arrays. Layouts are cached under
+    /tmp keyed by (sf_dir, lineitem mtime); handles cached per session.
+
+    variant 'sym': each undirected edge in both directions (what the
+    co_sym SQL oracle models); 'und': canonical u<v direction only
+    (louvain symmetrizes internally).
+    """
+    key = (sf_dir, variant)
+    if key in _graph_cache:
+        return _graph_cache[key]
+    suppkeys = _suppkeys(sf_dir)
     n = int(suppkeys.max()) + 1 if len(suppkeys) else 0
-    # symmetrized directed edge list (each undirected edge both ways)
-    src = np.concatenate([u, v])
-    dst = np.concatenate([v, u])
-    graph = PartitionedGraph.from_arrays(n, src, dst)
-    out = (suppkeys, graph, u, v)
-    _graph_cache[sf_dir] = out
+    import tempfile
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    mtime = int(os.stat(li_path).st_mtime) if os.path.exists(li_path) else 0
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    graph_dir = os.path.join(tempfile.gettempdir(), "gds_query_graphs",
+                             tag, variant)
+    if os.path.exists(os.path.join(graph_dir, "manifest.json")):
+        graph = PartitionedGraph.from_manifest(graph_dir)
+    else:
+        from .sources.graph_build import build_int_graph
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_parts = max(4, min(16, cpus))
+        graph = build_int_graph(
+            co_supply_edges_ds(sf_dir), graph_dir, n, num_parts,
+            symmetrize=(variant == "sym"),
+            lineage={"source": sf_dir, "derivation": "co_supply"})
+    out = (suppkeys, graph)
+    _graph_cache[key] = out
     return out
 
 
@@ -101,14 +127,18 @@ def q_co_supply_edges(sf_dir: str):
 
 
 def q_degree_centrality(sf_dir: str):
-    suppkeys, graph, u, v = _co_supply_graph(sf_dir)
-    deg = np.bincount(u, minlength=graph.n) + np.bincount(v, minlength=graph.n)
+    """Undirected degree = out-degree of the symmetrized graph, computed
+    by the distributed partial-bincount pipeline (pipelines.degree)."""
+    from .pipelines.degree import degree_centrality
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    df = degree_centrality(graph, orientation="natural")
+    deg = df["score"].to_numpy()
     return pa.table({"s_suppkey": suppkeys,
                      "degree": deg[suppkeys].astype(np.int64)})
 
 
 def q_pagerank(sf_dir: str):
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     res = pagerank(graph, tolerance=0.0, max_iterations=20)
     df = res.to_pandas()
     df = df[df["vid"].isin(suppkeys)]
@@ -119,7 +149,7 @@ def q_pagerank(sf_dir: str):
 
 
 def q_wcc(sf_dir: str):
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     res = wcc(graph)
     df = res.to_pandas()
     df = df[df["vid"].isin(suppkeys)]
@@ -131,7 +161,7 @@ def q_wcc(sf_dir: str):
 
 def q_label_propagation(sf_dir: str):
     """No SQL oracle (iterative vote semantics) — rows-only check."""
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     res = label_propagation(graph, max_iterations=10)
     df = res.to_pandas()
     df = df[df["vid"].isin(suppkeys)]
@@ -142,16 +172,17 @@ def q_label_propagation(sf_dir: str):
 
 
 def q_triangle_count(sf_dir: str):
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     per_node, _total = triangle_count(graph)
     return pa.table({"s_suppkey": suppkeys,
                      "triangles": per_node[suppkeys].astype(np.int64)})
 
 
 def q_local_clustering(sf_dir: str):
-    suppkeys, graph, u, v = _co_supply_graph(sf_dir)
+    from .pipelines.degree import degree_centrality
+    suppkeys, graph = _co_supply_graph(sf_dir)
     per_node, _ = triangle_count(graph)
-    deg = np.bincount(u, minlength=graph.n) + np.bincount(v, minlength=graph.n)
+    deg = degree_centrality(graph, orientation="natural")["score"].to_numpy()
     d = deg.astype(np.float64)
     denom = d * (d - 1.0)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -330,7 +361,7 @@ def q_collapse_path(sf_dir: str):
 def q_node_similarity(sf_dir: str):
     """Jaccard similarity of co-supply neighbor sets (pairs ≥ 0.1)."""
     from .pipelines.similarity_graph import node_similarity
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     df = node_similarity(graph, top_k=None, similarity_cutoff=0.1)
     df = df[df["node1"].isin(suppkeys)]
     return pa.table({
@@ -344,7 +375,7 @@ def q_bfs_hops(sf_dir: str):
     """Hop distances from the smallest supplier key on the co-supply
     graph (-1 = unreachable)."""
     from .pipelines.traversal import bfs
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     res = bfs(graph, source_vid=int(suppkeys.min()))
     df = res.to_pandas()
     df = df[df["vid"].isin(suppkeys)]
@@ -357,7 +388,7 @@ def q_bfs_hops(sf_dir: str):
 def q_closeness(sf_dir: str):
     """Closeness + harmonic centrality on the co-supply graph."""
     from .pipelines.traversal import closeness_harmonic
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     df = closeness_harmonic(graph, flow="out")
     df = df[df["vid"].isin(suppkeys)]
     return pa.table({
@@ -369,7 +400,7 @@ def q_closeness(sf_dir: str):
 
 
 def q_articlerank(sf_dir: str):
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     from .pipelines.centrality import article_rank
     res = article_rank(graph, tolerance=0.0, max_iterations=20)
     df = res.to_pandas()
@@ -383,7 +414,7 @@ def q_articlerank(sf_dir: str):
 def q_eigenvector(sf_dir: str):
     """Eigenvector centrality (rows-only: per-iteration L2 master
     normalization is awkward to mirror exactly in SQL)."""
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     from .pipelines.centrality import eigenvector
     res = eigenvector(graph, max_iterations=20, tolerance=1e-10)
     df = res.to_pandas()
@@ -397,9 +428,8 @@ def q_eigenvector(sf_dir: str):
 def q_louvain(sf_dir: str):
     """Louvain communities on the co-supply graph (rows-only)."""
     from .pipelines.louvain import louvain
-    suppkeys, graph, u, v = _co_supply_graph(sf_dir)
-    # undirected input: one direction per edge (louvain symmetrizes)
-    und = PartitionedGraph.from_arrays(graph.n, u, v)
+    # canonical one-direction edges (louvain symmetrizes internally)
+    suppkeys, und = _co_supply_graph(sf_dir, variant="und")
     df, _mods = louvain(und, distributed=True)
     df = df[df["vid"].isin(suppkeys)]
     return pa.table({
@@ -411,7 +441,7 @@ def q_louvain(sf_dir: str):
 def q_hits(sf_dir: str):
     """HITS hubs/authorities on the co-supply graph (rows-only)."""
     from .pipelines.hits import hits
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     df = hits(graph, hits_iterations=15)
     df = df[df["vid"].isin(suppkeys)]
     return pa.table({
@@ -424,7 +454,7 @@ def q_hits(sf_dir: str):
 def q_betweenness(sf_dir: str):
     """Sampled betweenness on the co-supply graph (rows-only)."""
     from .pipelines.betweenness import betweenness
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     df = betweenness(graph, sources=suppkeys[:8])
     df = df[df["vid"].isin(suppkeys)]
     return pa.table({
@@ -466,7 +496,7 @@ def q_random_walks(sf_dir: str):
     """Deterministic uniform random walks on the co-supply graph
     (rows-only)."""
     from .pipelines.walks import random_walks
-    suppkeys, graph, _, _ = _co_supply_graph(sf_dir)
+    suppkeys, graph = _co_supply_graph(sf_dir)
     return random_walks(graph, walk_length=5, walks_per_node=1, seed=42,
                         source_vids=suppkeys[:32])
 

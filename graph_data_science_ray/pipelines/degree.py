@@ -1,13 +1,53 @@
 """Degree centrality — parity with gds.degree
 (algo/src/main/java/org/neo4j/gds/degree/DegreeCentrality.java:40-110):
-in/out/undirected degree, optionally Σ edge weights."""
+in/out/undirected degree, optionally Σ edge weights.
+
+Distributed shape (parquet graphs): the flow's edge files are read as a
+Ray Dataset; each batch emits a COMPACT (vid, score) partial (unique
+keys in the batch — never an O(V) dense array per batch), which a
+hash-bucketed groupby-sum combines (stages.shuffle.aggregate_rows).
+The O(V) result lands on the driver only at collection time.
+"""
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import ray.data as rd
 
 from ..stages.superstep import PartitionedGraph
+
+
+def degrees_ds(
+    edges: rd.Dataset,
+    key_cols: tuple[str, ...] = ("src",),
+    weight_col: str | None = None,
+) -> rd.Dataset:
+    """(vid, score) degree table from an edge dataset — per-batch compact
+    partial counts, then a bucketed groupby-sum. Vertices with no edges
+    don't appear (join/reindex with 0 downstream if needed)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, wgts = [], []
+        for c in key_cols:
+            k = t[c].to_numpy(zero_copy_only=False)
+            keys.append(k)
+            if weight_col is not None:
+                wgts.append(t[weight_col].to_numpy(zero_copy_only=False))
+            else:
+                wgts.append(np.ones(len(k)))
+        k = np.concatenate(keys)
+        w = np.concatenate(wgts)
+        vid, inv = np.unique(k, return_inverse=True)
+        score = np.bincount(inv, weights=w)
+        return pa.table({"vid": vid.astype(np.int64),
+                         "score": score.astype(np.float64)})
+
+    from ..stages.shuffle import aggregate_rows
+    partials = edges.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return aggregate_rows(partials, ["vid"], ["score"])
 
 
 def degree_centrality(
@@ -15,8 +55,7 @@ def degree_centrality(
     orientation: str = "natural",   # natural (out) | reverse (in) | undirected
     weighted: bool = False,
 ) -> pd.DataFrame:
-    """(vid, score). For the in-memory kind this is a driver-side
-    bincount; the parquet kind streams per-partition blocks."""
+    """(vid, score) for every vid (0 for isolated vertices)."""
     n = graph.n
     score = np.zeros(n, dtype=np.float64)
     if graph.kind == "arrays":
@@ -31,23 +70,22 @@ def degree_centrality(
             else:
                 score += np.bincount(keys, minlength=n)
     else:
-        import glob
-        import os
-
-        import pyarrow.parquet as pq
-        flows = {"natural": [("out", "src")], "reverse": [("in", "dst")],
-                 "undirected": [("out", "src"), ("in", "dst")]}[orientation]
-        for flow, col in flows:
-            for f in glob.glob(os.path.join(graph.path, flow, "part=*",
-                                            "*.parquet")) + glob.glob(
-                    os.path.join(graph.path, flow, "part=*.parquet")):
-                cols = [col] + (["weight"] if weighted and graph.weighted else [])
-                t = pq.read_table(f, columns=cols)
-                k = t[col].to_numpy(zero_copy_only=False)
-                if weighted and graph.weighted:
-                    score += np.bincount(
-                        k, weights=t["weight"].to_numpy(zero_copy_only=False),
-                        minlength=n)
-                else:
-                    score += np.bincount(k, minlength=n)
+        # both orientations count the edge's OWNER endpoint of each flow
+        # file set: out files keyed by src, in files keyed by dst
+        flows = {"natural": [("out", ("src",))], "reverse": [("in", ("dst",))],
+                 "undirected": [("out", ("src",)), ("in", ("dst",))]}[orientation]
+        for flow, key_cols in flows:
+            files = graph.flow_files(flow)
+            if not files:
+                continue
+            cols = list(key_cols) + (
+                ["weight"] if weighted and graph.weighted else [])
+            ds = rd.read_parquet(files, columns=cols)
+            deg = degrees_ds(
+                ds, key_cols,
+                "weight" if weighted and graph.weighted else None)
+            for batch in deg.iter_batches(batch_size=1 << 20,
+                                          batch_format="pyarrow"):
+                vid = batch["vid"].to_numpy(zero_copy_only=False)
+                score[vid] += batch["score"].to_numpy(zero_copy_only=False)
     return pd.DataFrame({"vid": np.arange(n, dtype=np.int64), "score": score})

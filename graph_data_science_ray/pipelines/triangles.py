@@ -37,15 +37,7 @@ from ..stages.superstep import PartitionedGraph
 
 
 def _edge_dataset(graph: PartitionedGraph) -> rd.Dataset:
-    if graph.kind == "arrays":
-        return rd.from_arrow(pa.table({"src": graph.src, "dst": graph.dst}))
-    import os
-    paths = []
-    out_dir = os.path.join(graph.path, "out")
-    for name in sorted(os.listdir(out_dir)):
-        if name.endswith(".parquet"):
-            paths.append(os.path.join(out_dir, name))
-    return rd.read_parquet(paths, columns=["src", "dst"])
+    return graph.edges_dataset(("src", "dst"), flow="out")
 
 
 def _pairs_within_groups(group_end: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -103,6 +103,27 @@ def build_graph(
     # re-run the shuffle (small relative to the raw input; spills if large)
     dedup = grouped.map_batches(finish, batch_format="pyarrow").materialize()
 
+    vertices = pa.table({
+        "vid": np.arange(n, dtype=np.int64),
+        "repo": pa.array(list(names), type=pa.string()),
+    })
+    return _finish_layout(dedup, graph_dir, n, num_parts, weighted,
+                          aggregation, lineage, vertices=vertices)
+
+
+def _finish_layout(
+    dedup: rd.Dataset,
+    graph_dir: str,
+    n: int,
+    num_parts: int,
+    weighted: bool,
+    aggregation: str,
+    lineage: dict | None,
+    vertices: pa.Table | None = None,
+) -> PartitionedGraph:
+    """Write the partitioned out/in flow layout + manifest for an already
+    deduplicated int edge dataset (columns src, dst[, weight])."""
+    os.makedirs(graph_dir, exist_ok=True)
     for flow, key in (("out", "src"), ("in", "dst")):
         def with_part(t: pa.Table, key=key) -> pa.Table:
             part = t[key].to_numpy(zero_copy_only=False) % num_parts
@@ -113,12 +134,9 @@ def build_graph(
             flow_dir, partition_cols=["part"])
 
     num_edges = dedup.count()
-    vertices = pa.table({
-        "vid": np.arange(n, dtype=np.int64),
-        "repo": pa.array(list(names), type=pa.string()),
-    })
     import pyarrow.parquet as pq
-    pq.write_table(vertices, os.path.join(graph_dir, "vertices.parquet"))
+    if vertices is not None:
+        pq.write_table(vertices, os.path.join(graph_dir, "vertices.parquet"))
 
     manifest = {
         "num_vertices": n,
@@ -134,6 +152,62 @@ def build_graph(
         json.dump(manifest, f, indent=2)
     os.replace(tmp, os.path.join(graph_dir, "manifest.json"))
     return PartitionedGraph.from_manifest(graph_dir)
+
+
+def build_int_graph(
+    edges_ds: rd.Dataset,
+    graph_dir: str,
+    n: int,
+    num_parts: int,
+    symmetrize: bool = False,
+    aggregation: str = "single",   # 'single' | 'count' | 'sum'
+    weight_col: str | None = None,
+    dedup: bool = True,
+    lineage: dict | None = None,
+) -> PartitionedGraph:
+    """Partitioned layout for an edge dataset that already carries dense
+    int64 vids (columns src, dst[, weight_col]) — skips the IdMap step of
+    ``build_graph``. `symmetrize` emits each edge in both directions
+    before dedup (undirected import). `aggregation='sum'` sums
+    `weight_col` over parallel edges; 'count' counts multiplicity."""
+    from ..stages.shuffle import aggregate_rows, distinct_rows
+
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+
+    def prep(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"src": src, "dst": dst}
+        if weight_col:
+            out["weight"] = t[weight_col].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+        if symmetrize:
+            out = {k: np.concatenate([v, v]) for k, v in out.items()}
+            out["src"], out["dst"] = (
+                np.concatenate([src, dst]), np.concatenate([dst, src]))
+        return pa.table(out)
+
+    prepped = edges_ds.select_columns(cols).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    weighted = aggregation in ("count", "sum") or weight_col is not None
+    if aggregation == "count":
+        grouped = distinct_rows(prepped, ["src", "dst"], count_alias="mult")
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t["src"], "dst": t["dst"],
+                             "weight": t["mult"].cast(pa.float64())})
+        final = grouped.map_batches(finish, batch_format="pyarrow")
+    elif aggregation == "sum":
+        final = aggregate_rows(prepped, ["src", "dst"], ["weight"])
+    elif dedup:
+        final = distinct_rows(prepped, ["src", "dst"] +
+                              (["weight"] if weight_col else []))
+    else:
+        final = prepped
+    final = final.materialize()
+    return _finish_layout(final, graph_dir, n, num_parts, weighted,
+                          aggregation, lineage)
 
 
 def content_digest(digests_ds: rd.Dataset) -> str:

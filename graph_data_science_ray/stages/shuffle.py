@@ -55,3 +55,30 @@ def distinct_rows(
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def aggregate_rows(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    sum_cols: list[str],
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Groupby-sum over high-cardinality keys: hash-bucket the keys into
+    ~`num_buckets` groups, then one vectorized pandas groupby-sum per
+    bucket (same rationale as ``distinct_rows`` — Ray's native sort-based
+    groupby costs ~25µs/group). Every distinct key lands in exactly one
+    bucket, so bucket-local sums are globally correct."""
+    cols = key_cols + sum_cols
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        df["__bucket"] = _bucket_hash(df, key_cols, num_buckets)
+        return df
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby(key_cols, sort=False)[sum_cols]
+                .sum().reset_index())
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))

@@ -97,6 +97,30 @@ class PartitionedGraph:
             num_parts_layout=m["num_parts"],
         )
 
+    def flow_files(self, flow: str = "out") -> list:
+        """Parquet files of one flow's partitioned layout."""
+        import glob
+        return sorted(
+            glob.glob(os.path.join(self.path, flow, "part=*", "*.parquet"))
+            + glob.glob(os.path.join(self.path, flow, "part=*.parquet")))
+
+    def edges_dataset(self, columns=("src", "dst"), flow: str = "out"):
+        """The graph's edge table as a Ray Dataset — the uniform access
+        path for non-superstep pipelines (triangles, louvain contraction,
+        similarity candidates, …). Arrays kind wraps the driver arrays;
+        parquet kind streams the flow's block files (each edge appears
+        once per flow)."""
+        import ray.data as rd
+        columns = [c for c in columns
+                   if c != "weight" or self.weighted or self.kind == "arrays"]
+        if self.kind == "arrays":
+            cols = {"src": self.src, "dst": self.dst}
+            if "weight" in columns:
+                cols["weight"] = (self.weight if self.weight is not None
+                                  else np.ones(len(self.src)))
+            return rd.from_arrow(pa.table({c: cols[c] for c in columns}))
+        return rd.read_parquet(self.flow_files(flow), columns=list(columns))
+
 
 # --------------------------------------------------------------------------
 # Message bundles
