@@ -531,11 +531,27 @@ def q_simhash_dedup(sf_dir: str):
     return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_near_dedup_exact(sf_dir: str):
+    """MinHash-LSH pipeline at threshold 1.0: clusters = groups with
+    identical whitespace-normalized lowercase text (Jaccard 1.0 on
+    shingle sets + full LSH recall for identical signatures) — the
+    SQL-checkable fixed point of the near-dedup path."""
+    from .functions.dedup import minhash_dedup
+    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         threshold=1.0)
+
+
 def q_ann_topk(sf_dir: str):
     """Exact cosine top-10 for the first 4 embeddings as queries."""
-    from .functions.ann import _batch_matrix, brute_force_topk
+    from .functions.ann import brute_force_topk
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    head = emb.filter(lambda r: r["vec_id"] < 4).to_pandas()
+
+    def head_mask(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.less(t["vec_id"], pa.scalar(4)))
+
+    head = emb.map_batches(head_mask, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
     head = head.sort_values("vec_id")
     queries = np.array([np.asarray(v, dtype=np.float64)
                         for v in head["embedding"]])
@@ -862,6 +878,16 @@ SELECT c_custkey,
                   ELSE (c_acctbal - lo) / (hi - lo) END, {_ROUND})
            AS acctbal_scaled
 FROM customer, st ORDER BY c_custkey""",
+    "near_dedup_exact": r"""
+WITH norm AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS t
+    FROM documents
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY t) AS cluster_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY t) AS keep
+FROM norm ORDER BY doc_id""",
     "token_counts": r"""
 SELECT doc_id,
        CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
@@ -896,6 +922,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
+    "near_dedup_exact": q_near_dedup_exact,
     "ann_topk": q_ann_topk,
     "knn": q_knn,
     "embedding_neardup": q_embedding_neardup,

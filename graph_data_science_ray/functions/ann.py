@@ -77,15 +77,16 @@ def brute_force_topk(
         _BruteScorer, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_args=(qref, k, id_col, vec_col),
         concurrency=concurrency).to_pandas()
-    out = []
-    for qid, grp in partials.groupby("query_id", sort=True):
-        grp = grp.sort_values(["score", "vec_id"],
-                              ascending=[False, True]).head(k)
-        grp = grp.reset_index(drop=True)
-        grp["rank"] = np.arange(1, len(grp) + 1)
-        out.append(grp)
-    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        {"query_id": [], "vec_id": [], "score": [], "rank": []})
+    if partials.empty:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
+                             "rank": []})
+    # one vectorized global merge: the partial top-k tables are tiny
+    # (Q×k per input batch), so sort + per-query head(k) is plenty
+    out = (partials.sort_values(["query_id", "score", "vec_id"],
+                                ascending=[True, False, True])
+           .groupby("query_id", sort=False).head(k).reset_index(drop=True))
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out
 
 
 def _lsh_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -143,38 +144,62 @@ def embedding_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> pd.DataFrame:
+    num_buckets: int = 32,
+) -> rd.Dataset:
     """Near-duplicate pairs (a < b, cosine >= threshold) via LSH-bucketed
-    all-pairs within buckets (+1-bit-flip probes merged by pair dedup)."""
+    all-pairs within equal-code groups — fully distributed: codes are a
+    map_batches stage against broadcast hyperplanes; scoring runs in a
+    code-bucketed ``map_groups`` kernel (per-group matmul, vectorized
+    pair emission). Each vector lives in exactly one code group, so
+    emitted pairs are already distinct. The embedding matrix never
+    lands on the driver."""
     rng = np.random.default_rng(seed)
-    planes = None
-    frames = []
-    for batch in embeddings.iter_batches(batch_size=1 << 14,
-                                         batch_format="pyarrow"):
-        m = _normalize(_batch_matrix(batch, vec_col))
-        if planes is None:
-            planes = rng.standard_normal((num_bits, m.shape[1]))
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        codes = _lsh_codes(m, planes)
-        frames.append((ids, m, codes))
-    all_ids = np.concatenate([f[0] for f in frames]) if frames else np.empty(0, np.int64)
-    all_m = np.vstack([f[1] for f in frames]) if frames else np.empty((0, 0))
-    all_codes = np.concatenate([f[2] for f in frames]) if frames else np.empty(0, np.int64)
-    pairs_a, pairs_b, sims = [], [], []
-    order = np.argsort(all_codes, kind="stable")
-    codes_s = all_codes[order]
-    bounds = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1], True])
-    for i in range(len(bounds) - 1):
-        idx = order[bounds[i]:bounds[i + 1]]
-        if len(idx) < 2:
-            continue
-        sub = all_m[idx]
-        s = sub @ sub.T
-        ii, jj = np.where(np.triu(s, 1) >= threshold)
-        for x, y in zip(ii, jj):
-            a, b = sorted((int(all_ids[idx[x]]), int(all_ids[idx[y]])))
-            pairs_a.append(a)
-            pairs_b.append(b)
-            sims.append(round(float(s[x, y]), 6))
-    df = pd.DataFrame({"a": pairs_a, "b": pairs_b, "cosine": sims})
-    return df.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    first = embeddings.take(1)
+    if not first:
+        return rd.from_items([])
+    dim = len(first[0][vec_col])
+    planes = rng.standard_normal((num_bits, dim))
+    planes_ref = ray.put(planes)
+
+    def code_batch(t: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(t, vec_col))
+        codes = _lsh_codes(m, ray.get(planes_ref))
+        return pa.table({
+            id_col: t[id_col],
+            vec_col: t[vec_col],
+            "code": pa.array(codes),
+            "__bucket": pa.array((codes % num_buckets).astype(np.int64)),
+        })
+
+    def score_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        codes = group["code"].to_numpy()
+        ids = group[id_col].to_numpy(np.int64)
+        mat = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in group[vec_col]]))
+        # sort by (code, id) so pair expansion inside a run gives a < b
+        order = np.lexsort((ids, codes))
+        codes, ids, mat = codes[order], ids[order], mat[order]
+        bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi - lo < 2:
+                continue
+            sub = mat[lo:hi]
+            s = sub @ sub.T
+            ii, jj = np.where(np.triu(s, 1) >= threshold)
+            out_a.append(ids[lo + ii])
+            out_b.append(ids[lo + jj])
+            out_s.append(np.round(s[ii, jj], 6))
+        if not out_a:
+            e = np.empty(0, np.int64)
+            return pd.DataFrame({"a": e, "b": e,
+                                 "cosine": np.empty(0, np.float64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_s)})
+
+    return (embeddings.map_batches(code_batch, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(score_kernel, batch_format="pandas"))

@@ -9,11 +9,15 @@ Five families, each expressed Ray-Data-first:
   ngram-jaccard  exact n-gram Jaccard for a candidate pair set
   embedding      cosine near-dup over an embedding column (see ann.py)
 
-Candidate generation is fully distributed (map_batches + low-cardinality
-bucket groupbys — see stages/shuffle.py for why native high-cardinality
-groupby is avoided). Candidate VERIFICATION re-reads only candidate docs;
-the final clustering runs min-label propagation on the candidate-pair
-graph, which is orders of magnitude smaller than the corpus.
+Every stage is distributed end-to-end: candidate generation is
+map_batches + low-cardinality bucket groupbys (see stages/shuffle.py for
+why native high-cardinality groupby is avoided); verification re-reads
+only candidate docs (distributed membership filter, then the small
+candidate-text table is broadcast to a map_batches Jaccard kernel over
+the PAIR dataset); clustering runs the engine's distributed WCC on the
+verified pair graph; final (doc_id, cluster_id, keep) assignment is a
+broadcast-label map_batches over the corpus — the corpus itself never
+lands on the driver.
 """
 
 from __future__ import annotations
@@ -23,9 +27,10 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
-from ..stages.shuffle import distinct_rows
+from ..stages.shuffle import _bucket_hash, distinct_rows
 
 _M61 = np.uint64((1 << 61) - 1)
 
@@ -50,8 +55,6 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text",
         out.columns = [id_col, "dup_count"]
         return out
 
-    from ..stages.shuffle import _bucket_hash
-
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["__bucket"] = _bucket_hash(df, ["h"], 32)
@@ -60,6 +63,81 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text",
     return (hashed.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket")
             .map_groups(keep_first, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Shared back half: verify + cluster + assign
+# ---------------------------------------------------------------------------
+
+def _pairs_within_sorted_runs(run_key_change: np.ndarray,
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    from ..pipelines.triangles import _pairs_within_groups
+    change = np.flatnonzero(np.r_[run_key_change, True]) + 1
+    group_end = np.repeat(change, np.diff(np.r_[0, change]))
+    return _pairs_within_groups(group_end)
+
+
+def _candidate_texts(docs: rd.Dataset, cand_ids: np.ndarray,
+                     id_col: str, text_col: str) -> dict[int, str]:
+    """Texts of the candidate docs only — a distributed membership
+    filter against the broadcast sorted id array; only the (small)
+    candidate subset is collected."""
+    if len(cand_ids) == 0:
+        return {}
+    ids_ref = ray.put(np.sort(cand_ids))
+
+    def filt(t: pa.Table) -> pa.Table:
+        s = ray.get(ids_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(s, ids), len(s) - 1)
+        return t.filter(pa.array(s[pos] == ids))
+
+    sub = (docs.select_columns([id_col, text_col])
+           .map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas())
+    return dict(zip(sub[id_col].astype(int), sub[text_col]))
+
+
+_WCC_ENGINE_PAIRS = 5_000_000  # above this, spin the engine up
+
+
+def cluster_assignments(docs: rd.Dataset, a: np.ndarray, b: np.ndarray,
+                        id_col: str = "doc_id") -> rd.Dataset:
+    """(doc_id, cluster_id=min doc in component, keep) for the whole
+    corpus: connected components over the verified pair graph — the
+    min-label fixpoint IS the min-doc cluster id — then a broadcast-label
+    map_batches assignment over the corpus. Small pair sets use the
+    vectorized hooking kernel directly on the driver (the engine's own
+    local-preunion routine); past ``_WCC_ENGINE_PAIRS`` the distributed
+    superstep WCC takes over."""
+    n = int(docs.max(on=id_col)) + 1
+    if len(a) >= _WCC_ENGINE_PAIRS:
+        from ..pipelines.wcc import wcc
+        from ..stages.superstep import PartitionedGraph
+        g = PartitionedGraph.from_arrays(n, a.astype(np.int64),
+                                         b.astype(np.int64))
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        res = wcc(g, num_parts=max(2, min(16, cpus)))
+        df = res.to_pandas()
+        labels = np.arange(n, dtype=np.int64)
+        labels[df["vid"].to_numpy()] = df["label"].to_numpy()
+    elif len(a):
+        from ..pipelines.wcc import _local_min_labels
+        labels = _local_min_labels(n, np.arange(n, dtype=np.int64),
+                                   a.astype(np.int64), b.astype(np.int64))
+    else:
+        labels = np.arange(n, dtype=np.int64)
+    labels_ref = ray.put(labels)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cl = lab[ids]
+        return pa.table({id_col: pa.array(ids), "cluster_id": pa.array(cl),
+                         "keep": pa.array(ids == cl)})
+
+    return docs.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -87,7 +165,11 @@ class MinHasher:
 
     num_perm universal-hash minhashes, grouped into `bands` bands of
     r = num_perm/bands rows; docs sharing any band bucket are candidates
-    (standard MinHash-LSH: collision prob = 1-(1-s^r)^bands).
+    (standard MinHash-LSH: collision prob = 1-(1-s^r)^bands). All
+    num_perm permutations of one doc are evaluated in a single 2-D
+    broadcast op; band hashes are one vectorized polynomial pass over
+    the whole batch (uint64 keys — cheaper to shuffle than hex digests;
+    hash collisions only add candidates, which verification removes).
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16,
@@ -103,74 +185,132 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.k)
-        # (a*x + b) mod M61, min over shingles, per permutation
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for i in range(self.num_perm):
-            sig[i] = ((self.a[i] * sh + self.b[i]) % _M61).min()
-        return sig
+        # (a*x + b) mod M61, min over shingles — one broadcast op
+        return ((self.a[:, None] * sh[None, :] + self.b[:, None])
+                % _M61).min(axis=1)
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """[B, num_perm] signatures → [B, bands] uint64 band keys."""
+        v = sigs.reshape(len(sigs), self.bands, self.r)
+        B = np.uint64(1099511628211)
+        h = np.full((len(sigs), self.bands), np.uint64(0xcbf29ce484222325),
+                    dtype=np.uint64)
+        for j in range(self.r):
+            h = (h ^ v[:, :, j]) * B
+        h ^= h >> np.uint64(33)
+        return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            sig = self.signature(text)
-            for band in range(self.bands):
-                chunk = sig[band * self.r:(band + 1) * self.r]
-                bh = hashlib.blake2b(chunk.tobytes(),
-                                     digest_size=8).hexdigest()
-                doc_ids.append(doc_id)
-                band_ids.append(band)
-                band_hashes.append(bh)
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = self.signature(text)
+        bh = self.band_hashes(sigs)
         return pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "band_id": pa.array(band_ids, type=pa.int64()),
-            "band_hash": pa.array(band_hashes, type=pa.string()),
+            "doc_id": pa.array(np.repeat(ids, self.bands)),
+            "band_id": pa.array(np.tile(
+                np.arange(self.bands, dtype=np.int64), len(texts))),
+            "band_hash": pa.array(
+                bh.reshape(-1).view(np.int64)),
         })
 
 
 def _pairs_from_buckets(group: pd.DataFrame) -> pd.DataFrame:
-    """Within one LSH bucket-hash bucket: emit candidate doc pairs."""
-    out_a, out_b = [], []
-    for (_, _), sub in group.groupby(["band_id", "band_hash"], sort=False):
-        ids = np.sort(sub["doc_id"].to_numpy())
-        if len(ids) > 1:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-    return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
-                         "b": np.array(out_b, dtype=np.int64)})
+    """Within one LSH hash bucket: candidate doc pairs per (band_id,
+    band_hash) group — vectorized pair expansion, no nested loops."""
+    bi = group["band_id"].to_numpy()
+    bh = group["band_hash"].to_numpy()
+    ids = group["doc_id"].to_numpy(np.int64)
+    order = np.lexsort((ids, bh, bi))
+    bi, bh, ids = bi[order], bh[order], ids[order]
+    li, ri = _pairs_within_sorted_runs((bi[1:] != bi[:-1])
+                                       | (bh[1:] != bh[:-1]))
+    if len(li) == 0:
+        e = np.empty(0, np.int64)
+        return pd.DataFrame({"a": e, "b": e})
+    pairs = np.unique(np.stack([ids[li], ids[ri]], axis=1), axis=0)
+    return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
 
 
-def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
-                       shingle_k: int = 5, concurrency=(1, 8)) -> rd.Dataset:
-    """Distinct candidate near-duplicate pairs (a < b) via MinHash-LSH."""
+def _pool(concurrency):
+    """Autoscaling actor-pool bounds: (1, cpus-1) — a pool of exactly
+    `cpus` actors starves the upstream read stage (CLAUDE.md)."""
+    if concurrency is not None:
+        return concurrency
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(2, cpus - 1))
+
+
+def minhash_pair_stream(docs: rd.Dataset, num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 5,
+                        concurrency=None) -> rd.Dataset:
+    """Candidate near-duplicate pairs (a < b) via MinHash-LSH — distinct
+    within each LSH bucket, but a pair colliding in several bands can
+    appear once per band (callers that union-find or re-verify don't
+    care; ``minhash_candidates`` adds the global distinct)."""
     lsh_rows = docs.map_batches(
         MinHasher, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "shingle_k": shingle_k},
-        concurrency=concurrency)
-
-    from ..stages.shuffle import _bucket_hash
+        concurrency=_pool(concurrency))
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["__bucket"] = _bucket_hash(df, ["band_hash"], 32)
         return df
 
-    pairs = (lsh_rows.map_batches(add_bucket, batch_format="pandas")
-             .groupby("__bucket")
-             .map_groups(_pairs_from_buckets, batch_format="pandas"))
-    return distinct_rows(pairs, ["a", "b"])
+    return (lsh_rows.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(_pairs_from_buckets, batch_format="pandas"))
+
+
+def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
+                       shingle_k: int = 5, concurrency=None) -> rd.Dataset:
+    """Distinct candidate near-duplicate pairs (a < b) via MinHash-LSH."""
+    return distinct_rows(
+        minhash_pair_stream(docs, num_perm, bands, shingle_k, concurrency),
+        ["a", "b"])
+
+
+def verify_jaccard_ds(pairs: rd.Dataset, texts: dict[int, str],
+                      shingle_k: int = 5,
+                      threshold: float = 0.8) -> rd.Dataset:
+    """Exact shingle-Jaccard over the candidate-pair DATASET; the small
+    candidate-text map rides as a broadcast object, the pair table never
+    leaves the cluster."""
+    texts_ref = ray.put(texts)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["a", "b"])
+        tx = ray.get(texts_ref)
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(doc_id: int) -> np.ndarray:
+            if doc_id not in cache:
+                cache[doc_id] = _shingle_hashes(tx[doc_id], shingle_k)
+            return cache[doc_id]
+
+        keep_a, keep_b, sims = [], [], []
+        for a, b in zip(df["a"].to_numpy(), df["b"].to_numpy()):
+            sa, sb = sh(int(a)), sh(int(b))
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                keep_a.append(int(a))
+                keep_b.append(int(b))
+                sims.append(round(j, 6))
+        return pd.DataFrame({"a": np.array(keep_a, dtype=np.int64),
+                             "b": np.array(keep_b, dtype=np.int64),
+                             "jaccard": np.array(sims, dtype=np.float64)})
+
+    return pairs.map_batches(kernel, batch_format="pandas")
 
 
 def verify_jaccard(pairs: pd.DataFrame, texts: dict[int, str],
                    shingle_k: int = 5, threshold: float = 0.8) -> pd.DataFrame:
-    """Exact shingle-Jaccard for candidate pairs; keeps rows >= threshold.
-
-    `texts` maps candidate doc_id → text (only candidates need texts; at
-    scale this is a broadcast of the candidate subset, not the corpus).
-    """
+    """In-memory verification kernel (kept for tests / small inputs)."""
     cache: dict[int, np.ndarray] = {}
 
     def sh(doc_id: int) -> np.ndarray:
@@ -191,10 +331,45 @@ def verify_jaccard(pairs: pd.DataFrame, texts: dict[int, str],
     return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
 
 
+def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8,
+                  num_perm: int = 64, bands: int | None = None,
+                  shingle_k: int = 5) -> rd.Dataset:
+    """End-to-end MinHash-LSH near-dedup → (doc_id, cluster_id, keep).
+
+    Candidate pairs, verification and the corpus-wide assignment are all
+    Dataset stages; only the candidate ID list, the candidate texts and
+    the verified pairs (each ≪ corpus by construction) are ever
+    driver-resident. When ``bands`` is None the banding adapts to the
+    threshold: (8 bands × r=8) for high thresholds (LSH s₅₀ ≈ 0.77 —
+    far fewer false candidates to verify) vs (16 × 4) below 0.75
+    (s₅₀ ≈ 0.5 — recall for looser duplicates)."""
+    if bands is None:
+        bands = 8 if threshold >= 0.75 else 16
+    # no global distinct: cross-band duplicate pairs re-verify cheaply
+    # (per-batch drop_duplicates + shingle cache) and union-find ignores
+    # duplicate edges — cheaper than another full shuffle
+    cand = minhash_pair_stream(docs, num_perm, bands,
+                               shingle_k).materialize()
+    cand_df = cand.to_pandas()   # candidate PAIRS only — small
+    ids_needed = (np.unique(np.concatenate([
+        cand_df["a"].to_numpy(np.int64), cand_df["b"].to_numpy(np.int64)]))
+        if len(cand_df) else np.empty(0, np.int64))
+    texts = _candidate_texts(docs, ids_needed, "doc_id", "text")
+    if len(cand_df):
+        verified = verify_jaccard_ds(cand, texts, shingle_k,
+                                     threshold).to_pandas()
+    else:
+        verified = pd.DataFrame()
+    if "a" not in verified.columns:   # zero surviving pairs → no schema
+        verified = pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return cluster_assignments(docs,
+                               verified["a"].to_numpy(np.int64),
+                               verified["b"].to_numpy(np.int64))
+
+
 def cluster_pairs(n_ids: np.ndarray, a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
-    """Connected components over the (small) verified-duplicate pair
-    graph → (doc_id, cluster_id=min doc in cluster). Union-find; the
-    pair set is tiny relative to the corpus by construction."""
+    """Driver-side union-find over a verified pair graph (kept for tests
+    and tiny inputs; the pipeline path is ``cluster_assignments``)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -215,59 +390,48 @@ def cluster_pairs(n_ids: np.ndarray, a: np.ndarray, b: np.ndarray) -> pd.DataFra
     return pd.DataFrame({"doc_id": ids, "cluster_id": cluster})
 
 
-def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8,
-                  num_perm: int = 64, bands: int = 16,
-                  shingle_k: int = 5) -> pd.DataFrame:
-    """End-to-end MinHash-LSH near-dedup → (doc_id, cluster_id, keep)."""
-    cand = minhash_candidates(docs, num_perm, bands, shingle_k).to_pandas()
-    ids_needed = np.unique(np.concatenate([
-        cand["a"].to_numpy(np.int64), cand["b"].to_numpy(np.int64)])) \
-        if len(cand) else np.empty(0, np.int64)
-    texts: dict[int, str] = {}
-    if len(ids_needed):
-        id_set = set(ids_needed.tolist())
-        for batch in docs.iter_batches(batch_size=8192, batch_format="pyarrow"):
-            for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                    batch["text"].to_pylist()):
-                if doc_id in id_set:
-                    texts[doc_id] = text
-    verified = verify_jaccard(cand, texts, shingle_k, threshold) if len(cand) \
-        else pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    all_ids = np.concatenate([
-        b["doc_id"].to_numpy(zero_copy_only=False)
-        for b in docs.select_columns(["doc_id"]).iter_batches(
-            batch_size=1 << 18, batch_format="pyarrow")])
-    clustered = cluster_pairs(all_ids,
-                              verified["a"].to_numpy(np.int64),
-                              verified["b"].to_numpy(np.int64))
-    clustered["keep"] = clustered["doc_id"] == clustered["cluster_id"]
-    return clustered
-
-
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 lacks bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
 
 class SimHasher:
     """Actor-pool stage: doc → 64-bit simhash + 4 16-bit blocking keys.
 
     Near-duplicates (Hamming distance ≤ 3) must agree on at least one of
     the 4 blocks (pigeonhole), so block-equality buckets are a complete
-    candidate generator for distance ≤ 3.
+    candidate generator for distance ≤ 3. Token hashes are memoized per
+    actor — the vocabulary is far smaller than the token stream.
     """
 
     def __init__(self, seed: int = 42):
         import re
         self.word = re.compile(r"[\w']+")
+        self._tok_cache: dict[str, int] = {}
+
+    def _tok_hash(self, t: str) -> int:
+        h = self._tok_cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            self._tok_cache[t] = h
+        return h
 
     def simhash(self, text: str) -> int:
         toks = self.word.findall(text.lower())
         if not toks:
             return 0
-        hashes = np.array(
-            [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8)
-                            .digest(), "little") for t in toks],
-            dtype=np.uint64)
+        hashes = np.array([self._tok_hash(t) for t in toks], dtype=np.uint64)
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) &
                 np.uint64(1)).astype(np.int64)
         vote = (2 * bits - 1).sum(axis=0)
@@ -290,33 +454,68 @@ class SimHasher:
         return pa.table(out)
 
 
-def simhash_signatures(docs: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
+def simhash_signatures(docs: rd.Dataset, concurrency=None) -> rd.Dataset:
     return docs.map_batches(SimHasher, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=concurrency)
+                            zero_copy_batch=True,
+                            concurrency=_pool(concurrency))
 
 
-def simhash_dedup(docs: rd.Dataset, max_distance: int = 3) -> pd.DataFrame:
-    """(doc_id, cluster_id, keep) for Hamming-distance ≤ max_distance."""
-    sigs = simhash_signatures(docs).to_pandas()
-    h = sigs["simhash"].to_numpy(dtype=np.uint64)
-    ids = sigs["doc_id"].to_numpy(dtype=np.int64)
-    pairs_a, pairs_b = [], []
-    for blk in range(4):
-        groups = sigs.groupby(f"block{blk}", sort=False).indices
-        for _, idx in groups.items():
-            if len(idx) < 2:
-                continue
-            for i in range(len(idx)):
-                for j in range(i + 1, len(idx)):
-                    x, y = idx[i], idx[j]
-                    if bin(int(h[x]) ^ int(h[y])).count("1") <= max_distance:
-                        a, b = sorted((int(ids[x]), int(ids[y])))
-                        pairs_a.append(a)
-                        pairs_b.append(b)
-    clustered = cluster_pairs(ids, np.array(pairs_a, dtype=np.int64),
-                              np.array(pairs_b, dtype=np.int64))
-    clustered["keep"] = clustered["doc_id"] == clustered["cluster_id"]
-    return clustered
+def simhash_candidate_pairs(sigs: rd.Dataset,
+                            max_distance: int = 3) -> rd.Dataset:
+    """Verified pairs (a < b, Hamming ≤ max_distance) from the signature
+    dataset. All four blocking passes ride ONE shuffle: each signature
+    row explodes into 4 (block_id, block_val) rows, bucketed by the
+    (block_id, value) hash; the kernel expands pairs within equal
+    (block_id, value) runs (vectorized) and keeps those within
+    distance; a final distinct merges pairs found by several blocks."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = df["simhash"].to_numpy()
+        out = pd.DataFrame({
+            "doc_id": np.tile(ids, 4),
+            "simhash": np.tile(h, 4),
+            "blk": np.repeat(np.arange(4, dtype=np.int64), len(ids)),
+            "val": np.concatenate([
+                df[f"block{b}"].to_numpy(np.int64) for b in range(4)]),
+        })
+        out["__bucket"] = _bucket_hash(out, ["blk", "val"], 32)
+        return out
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        blk = group["blk"].to_numpy()
+        v = group["val"].to_numpy()
+        ids = group["doc_id"].to_numpy(np.int64)
+        h = group["simhash"].to_numpy()
+        order = np.lexsort((ids, v, blk))
+        blk, v, ids, h = blk[order], v[order], ids[order], h[order]
+        li, ri = _pairs_within_sorted_runs((blk[1:] != blk[:-1])
+                                           | (v[1:] != v[:-1]))
+        if len(li) == 0:
+            e = np.empty(0, np.int64)
+            return pd.DataFrame({"a": e, "b": e})
+        dist = _popcount64(h[li].astype(np.uint64) ^ h[ri].astype(np.uint64))
+        keep = dist <= max_distance
+        # ids ascend within each run, so li<ri implies a<b
+        pairs = np.unique(np.stack([ids[li][keep], ids[ri][keep]], axis=1),
+                          axis=0) if keep.any() else np.empty((0, 2), np.int64)
+        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    cand = (sigs.map_batches(explode, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+    return distinct_rows(cand, ["a", "b"])
+
+
+def simhash_dedup(docs: rd.Dataset, max_distance: int = 3) -> rd.Dataset:
+    """(doc_id, cluster_id, keep) for Hamming-distance ≤ max_distance —
+    fully distributed (signatures → blocked candidate+verify → WCC
+    clustering → broadcast assignment)."""
+    sigs = simhash_signatures(docs)
+    pairs = simhash_candidate_pairs(sigs, max_distance).to_pandas()
+    return cluster_assignments(docs,
+                               pairs["a"].to_numpy(np.int64),
+                               pairs["b"].to_numpy(np.int64))
 
 
 def ngram_jaccard(texts_a: list[str], texts_b: list[str],

@@ -67,7 +67,7 @@ def test_exact_dedup(docs_ds):
 
 
 def test_minhash_dedup(docs_ds):
-    clustered = dedup.minhash_dedup(docs_ds, threshold=0.7)
+    clustered = dedup.minhash_dedup(docs_ds, threshold=0.7).to_pandas()
     by_id = clustered.set_index("doc_id")["cluster_id"]
     assert by_id[0] == by_id[1] == by_id[2]  # exact + near dup clustered
     assert by_id[5] == 5                      # unique doc keeps itself
@@ -76,7 +76,7 @@ def test_minhash_dedup(docs_ds):
 
 
 def test_simhash_dedup(docs_ds):
-    clustered = dedup.simhash_dedup(docs_ds, max_distance=3)
+    clustered = dedup.simhash_dedup(docs_ds, max_distance=3).to_pandas()
     by_id = clustered.set_index("doc_id")["cluster_id"]
     assert by_id[0] == by_id[1]  # identical docs share a cluster
     assert by_id[5] == 5
@@ -131,7 +131,7 @@ def test_lsh_topk_overlaps_exact(emb_ds):
 
 def test_embedding_neardup(emb_ds):
     ds, _ = emb_ds
-    pairs = ann.embedding_neardup(ds, threshold=0.999, num_bits=6)
+    pairs = ann.embedding_neardup(ds, threshold=0.999, num_bits=6).to_pandas()
     assert ((pairs["a"] == 3) & (pairs["b"] == 5)).any()
 
 
