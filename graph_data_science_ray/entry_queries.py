@@ -57,19 +57,35 @@ def _pair_kernel(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"src": pairs[:, 0], "dst": pairs[:, 1]})
 
 
-def co_supply_edges_ds(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
-    """Distinct (src < dst) supplier pairs sharing a part — Ray pipeline:
-    bucket by part → per-bucket vectorized distinct + pair expansion →
-    bucketed global dedup (stages.shuffle.distinct_rows)."""
-    from .stages.shuffle import distinct_rows
+def _pair_kernel_per_part(group: pd.DataFrame) -> pd.DataFrame:
+    """Like _pair_kernel but one row per (part, pair) — multiplicity =
+    number of shared parts feeds the weighted graph build."""
+    ps = np.unique(np.stack([group["l_partkey"].to_numpy(),
+                             group["l_suppkey"].to_numpy()], axis=1), axis=0)
+    part, supp = ps[:, 0], ps[:, 1]
+    change = np.flatnonzero(np.r_[part[1:] != part[:-1], True]) + 1
+    group_end = np.repeat(change, np.diff(np.r_[0, change]))
+    li, ri = _pairs_within_groups(group_end)
+    return pd.DataFrame({"src": supp[li], "dst": supp[ri]})
+
+
+def _co_supply_pairs(sf_dir: str, kernel, num_buckets: int = 16) -> rd.Dataset:
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = t["l_partkey"].to_numpy(zero_copy_only=False) % num_buckets
         return t.append_column("bucket", pa.array(b.astype(np.int64)))
 
-    pairs = (li.map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("bucket").map_groups(_pair_kernel, batch_format="pandas"))
+    return (li.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(kernel, batch_format="pandas"))
+
+
+def co_supply_edges_ds(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Distinct (src < dst) supplier pairs sharing a part — Ray pipeline:
+    bucket by part → per-bucket vectorized distinct + pair expansion →
+    bucketed global dedup (stages.shuffle.distinct_rows)."""
+    from .stages.shuffle import distinct_rows
+    pairs = _co_supply_pairs(sf_dir, _pair_kernel, num_buckets)
     return distinct_rows(pairs, ["src", "dst"])
 
 
@@ -113,10 +129,19 @@ def _co_supply_graph(sf_dir: str, variant: str = "sym"):
         from .sources.graph_build import build_int_graph
         cpus = int(ray.cluster_resources().get("CPU", 4))
         num_parts = max(4, min(16, cpus))
-        graph = build_int_graph(
-            co_supply_edges_ds(sf_dir), graph_dir, n, num_parts,
-            symmetrize=(variant == "sym"),
-            lineage={"source": sf_dir, "derivation": "co_supply"})
+        if variant == "wsym":
+            # weight = number of distinct shared parts per pair: one row
+            # per (part, pair), symmetrized, multiplicity counted at build
+            graph = build_int_graph(
+                _co_supply_pairs(sf_dir, _pair_kernel_per_part), graph_dir,
+                n, num_parts, symmetrize=True, aggregation="count",
+                lineage={"source": sf_dir,
+                         "derivation": "co_supply_weighted"})
+        else:
+            graph = build_int_graph(
+                co_supply_edges_ds(sf_dir), graph_dir, n, num_parts,
+                symmetrize=(variant == "sym"),
+                lineage={"source": sf_dir, "derivation": "co_supply"})
     out = (suppkeys, graph)
     _graph_cache[key] = out
     return out
@@ -148,9 +173,53 @@ def q_pagerank(sf_dir: str):
     })
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """PageRank over the weighted co-supply graph (weight = number of
+    shared parts); messages scaled by edge weight, degree = Σ weights —
+    the reference's relationshipWeightProperty path."""
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="wsym")
+    res = pagerank(graph, tolerance=0.0, max_iterations=20, weighted=True)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(dtype=np.int64),
+        "rank": np.round(df["rank"].to_numpy(), _ROUND),
+    })
+
+
+def q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank seeded on the 3 smallest supplier keys
+    (sourceNodes; teleport mass only on the sources)."""
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    sources = [int(v) for v in suppkeys[:3]]
+    res = pagerank(graph, tolerance=0.0, max_iterations=20,
+                   source_vids=sources)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(dtype=np.int64),
+        "rank": np.round(df["rank"].to_numpy(), _ROUND),
+    })
+
+
 def q_wcc(sf_dir: str):
     suppkeys, graph = _co_supply_graph(sf_dir)
     res = wcc(graph)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(dtype=np.int64),
+        "component": df["label"].to_numpy(dtype=np.int64),
+    })
+
+
+def q_wcc_seeded(sf_dir: str):
+    """Seeded (incremental) WCC: seed(v) = (v*37) % 101; converges to
+    min seed per component (the reference's seedProperty path — labels
+    need not be unique across components)."""
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    seeds = (np.arange(graph.n, dtype=np.int64) * 37) % 101
+    res = wcc(graph, seeds=seeds)
     df = res.to_pandas()
     df = df[df["vid"].isin(suppkeys)]
     return pa.table({
@@ -662,6 +731,79 @@ ORDER BY s_suppkey""")
     return "\n".join(parts)
 
 
+_CO_SUPPLY_W_SQL = """
+co_w AS (
+    SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+           COUNT(DISTINCT a.l_partkey) AS w
+    FROM lineitem a JOIN lineitem b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+),
+co_wsym AS (
+    SELECT src, dst, w FROM co_w
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM co_w
+)
+"""
+
+
+def _pagerank_weighted_sql(iterations: int = 20,
+                           damping: float = 0.85) -> str:
+    alpha = 1.0 - damping
+    parts = [f"WITH {_CO_SUPPLY_W_SQL.strip()},",
+             "deg AS (SELECT src, SUM(w) AS degw FROM co_wsym GROUP BY src),",
+             "nodes AS (SELECT s_suppkey AS vid FROM supplier),",
+             f"it0 AS (SELECT vid, {alpha} AS rank FROM nodes)"]
+    for k in range(1, iterations):
+        parts.append(f""",
+it{k} AS (
+    SELECT n.vid, {alpha} + {damping} * COALESCE(c.s, 0) AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS vid, SUM(p.rank * e.w / d.degw) AS s
+        FROM co_wsym e
+        JOIN it{k - 1} p ON p.vid = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) c ON c.vid = n.vid
+)""")
+    parts.append(f"""
+SELECT vid AS s_suppkey, ROUND(rank, {_ROUND}) AS rank FROM it{iterations - 1}
+ORDER BY s_suppkey""")
+    return "\n".join(parts)
+
+
+def _pagerank_personalized_sql(iterations: int = 20,
+                               damping: float = 0.85,
+                               num_sources: int = 3) -> str:
+    alpha = 1.0 - damping
+    src_set = (f"(SELECT s_suppkey FROM supplier ORDER BY s_suppkey "
+               f"LIMIT {num_sources})")
+    parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
+             "deg AS (SELECT src, COUNT(*) AS outdeg FROM co_sym GROUP BY src),",
+             "nodes AS (SELECT s_suppkey AS vid FROM supplier),",
+             f"""it0 AS (SELECT vid,
+    CASE WHEN vid IN {src_set} THEN {alpha} ELSE 0.0 END AS rank
+    FROM nodes)"""]
+    for k in range(1, iterations):
+        parts.append(f""",
+it{k} AS (
+    SELECT n.vid,
+           CASE WHEN n.vid IN {src_set} THEN {alpha} ELSE 0.0 END
+           + {damping} * COALESCE(c.s, 0) AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS vid, SUM(p.rank / d.outdeg) AS s
+        FROM co_sym e
+        JOIN it{k - 1} p ON p.vid = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) c ON c.vid = n.vid
+)""")
+    parts.append(f"""
+SELECT vid AS s_suppkey, ROUND(rank, {_ROUND}) AS rank FROM it{iterations - 1}
+ORDER BY s_suppkey""")
+    return "\n".join(parts)
+
+
 def _articlerank_sql(iterations: int = 20, damping: float = 0.85) -> str:
     alpha = 1.0 - damping
     parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
@@ -700,6 +842,20 @@ SELECT s.s_suppkey, COALESCE(deg.d, 0) AS degree
 FROM supplier s LEFT JOIN deg ON deg.k = s.s_suppkey
 ORDER BY s.s_suppkey""",
     "pagerank": _pagerank_sql(),
+    "pagerank_weighted": _pagerank_weighted_sql(),
+    "pagerank_personalized": _pagerank_personalized_sql(),
+    "wcc_seeded": f"""
+WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
+reach(v, r) AS (
+    SELECT s_suppkey, s_suppkey FROM supplier
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN co_sym e ON e.src = reach.v
+),
+comp AS (SELECT v, MIN(r) AS c FROM reach GROUP BY v),
+seedmin AS (SELECT c, MIN((v * 37) % 101) AS s FROM comp GROUP BY c)
+SELECT comp.v AS s_suppkey, CAST(seedmin.s AS BIGINT) AS component
+FROM comp JOIN seedmin ON seedmin.c = comp.c
+ORDER BY s_suppkey""",
     "wcc": f"""
 WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
 reach(v, r) AS (
@@ -906,7 +1062,10 @@ QUERIES = {
     "co_supply_edges": q_co_supply_edges,
     "degree_centrality": q_degree_centrality,
     "pagerank": q_pagerank,
+    "pagerank_weighted": q_pagerank_weighted,
+    "pagerank_personalized": q_pagerank_personalized,
     "wcc": q_wcc,
+    "wcc_seeded": q_wcc_seeded,
     "label_propagation": q_label_propagation,
     "triangle_count": q_triangle_count,
     "local_clustering": q_local_clustering,
