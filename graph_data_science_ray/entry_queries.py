@@ -570,6 +570,31 @@ def q_random_walks(sf_dir: str):
                         source_vids=suppkeys[:32])
 
 
+def q_fastrp(sf_dir: str):
+    """FastRP embeddings on the co-supply graph via the engine's
+    vector-valued message bundles (rows-only: random-projection values
+    aren't SQL-expressible; bit-exact NumPy parity in pytest)."""
+    from .pipelines.fastrp import fastrp
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    df = fastrp(graph, dim=32, iteration_weights=[0.0, 1.0, 1.0], seed=42)
+    df = df[df["vid"].isin(suppkeys)]
+    emb = np.round(np.stack(df["emb"].to_numpy()), _ROUND)
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "emb": pa.array(emb.tolist(), type=pa.list_(pa.float64())),
+    })
+
+
+def q_knn_descent(sf_dir: str):
+    """Approximate KNN graph via NN-Descent (rows-only: approximate by
+    design; recall vs brute force asserted in pytest)."""
+    from .functions.nn_descent import knn_descent
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_descent(emb, k=5, max_iterations=6, delta=0.02)
+    out["score"] = out["score"].round(_ROUND)
+    return out
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-vote language ID (heuristic — rows-only check)."""
     from .functions.text import language_id
@@ -1084,6 +1109,8 @@ QUERIES = {
     "near_dedup_exact": q_near_dedup_exact,
     "ann_topk": q_ann_topk,
     "knn": q_knn,
+    "knn_descent": q_knn_descent,
+    "fastrp": q_fastrp,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
     "collapse_path": q_collapse_path,

@@ -137,7 +137,27 @@ class PartitionedGraph:
 _K_NONE, _K_DENSE, _K_SPARSE, _K_VOTES = 0, 1, 2, 3
 
 
+def _np_to_pa(v: np.ndarray) -> pa.Array:
+    """NumPy column → Arrow; 2-D [n, d] becomes FixedSizeList<d>."""
+    if v.ndim == 2:
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(v.reshape(-1)), v.shape[1])
+    return pa.array(v)
+
+
+def _pa_to_np(col) -> np.ndarray:
+    """Arrow column → NumPy; FixedSizeList<d> becomes 2-D [n, d]."""
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        flat = (col.combine_chunks() if hasattr(col, "combine_chunks")
+                else col).flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(-1, d).copy()
+    return col.to_numpy(zero_copy_only=False).copy()
+
+
 def _combine_weight(vals: np.ndarray, w: np.ndarray, mode: str) -> None:
+    if vals.ndim == 2:
+        w = w[:, None]
     if mode == "mul":
         vals *= w
     else:  # 'add' — SSSP-style relaxation: message = value + edge weight
@@ -266,7 +286,9 @@ class PartitionWorker:
         self.last_send = None
         # preallocated merge accumulator (fresh allocations per superstep
         # cause page-fault stalls the BSP barrier amplifies)
-        self._macc = np.empty(self.n_local, dtype=np.dtype(program.msg_dtype))
+        dim = getattr(program, "msg_dim", None)
+        shape = self.n_local if dim is None else (self.n_local, dim)
+        self._macc = np.empty(shape, dtype=np.dtype(program.msg_dtype))
 
     # -- pipelined BSP superstep ----------------------------------------------
     #
@@ -384,12 +406,22 @@ class PartitionWorker:
                     sparse_idx.append(p[1])
                     sparse_val.append(p[2])
             if sparse_idx:
-                # one cache-resident bincount over all sparse entries
-                # (np.add.at measured ~10× slower at this volume)
-                acc += np.bincount(np.concatenate(sparse_idx),
-                                   weights=np.concatenate(sparse_val),
-                                   minlength=self.n_local)
-            has = acc != identity
+                if acc.ndim == 2:
+                    # vector messages: segmented sum (bincount is 1-D only)
+                    idx = np.concatenate(sparse_idx)
+                    val = np.concatenate(sparse_val)
+                    order = np.argsort(idx, kind="stable")
+                    idx, val = idx[order], val[order]
+                    runs = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+                    acc[idx[runs]] += np.add.reduceat(val, runs, axis=0)
+                else:
+                    # one cache-resident bincount over all sparse entries
+                    # (np.add.at measured ~10× slower at this volume)
+                    acc += np.bincount(np.concatenate(sparse_idx),
+                                       weights=np.concatenate(sparse_val),
+                                       minlength=self.n_local)
+            has = ((acc != identity).any(axis=1) if acc.ndim == 2
+                   else acc != identity)
         else:  # MIN / OR
             combine = np.minimum if prog.reducer == MIN else np.bitwise_or
             for p in payloads:
@@ -544,7 +576,8 @@ class PartitionWorker:
                 v = red[lo:hi]
                 n_q = num_local(self.n, q, P)
                 if len(idx) >= _SPARSE_DENSITY * n_q:
-                    seg = np.full(n_q, identity, dtype=dtype)
+                    shape = n_q if v.ndim == 1 else (n_q, v.shape[1])
+                    seg = np.full(shape, identity, dtype=dtype)
                     seg[idx] = v
                     payloads[q] = ("d", seg)
                 else:
@@ -614,11 +647,11 @@ class PartitionWorker:
         os.makedirs(os.path.join(ckpt_dir, f"iter={iteration}"), exist_ok=True)
         cols: dict[str, pa.Array] = {}
         for k, v in self.state.items():
-            cols[k] = pa.array(v)
+            cols[k] = _np_to_pa(v)
         cols["__halted"] = pa.array(self.halted)
         out = self.last_send
         cols["__send_mask"] = pa.array(out.send_mask)
-        cols["__send_value"] = pa.array(out.send_value)
+        cols["__send_value"] = _np_to_pa(out.send_value)
         if out.vote_weight is not None:
             cols["__vote_weight"] = pa.array(out.vote_weight)
         table = pa.table(cols)
@@ -636,7 +669,7 @@ class PartitionWorker:
         t = pq.read_table(path)
         names = set(t.column_names)
         self.state = {
-            k: t[k].to_numpy(zero_copy_only=False).copy()
+            k: _pa_to_np(t[k])
             for k in names if not k.startswith("__")
         }
         self.halted = t["__halted"].to_numpy(zero_copy_only=False).copy()
@@ -644,7 +677,7 @@ class PartitionWorker:
         tr = meta.get(b"target_range")
         self.last_send = StepOutput(
             send_mask=t["__send_mask"].to_numpy(zero_copy_only=False).copy(),
-            send_value=t["__send_value"].to_numpy(zero_copy_only=False).copy(),
+            send_value=_pa_to_np(t["__send_value"]),
             vote_weight=(t["__vote_weight"].to_numpy(zero_copy_only=False).copy()
                          if "__vote_weight" in names else None),
             target_range=tuple(json.loads(tr)) if tr else None,
@@ -655,7 +688,7 @@ class PartitionWorker:
         cols = {"vid": pa.array(
             np.arange(self.n_local, dtype=np.int64) * self.P + self.part)}
         for k in keys:
-            cols[k] = pa.array(self.state[k])
+            cols[k] = _np_to_pa(self.state[k])
         return pa.table(cols)
 
 
@@ -741,6 +774,8 @@ class SuperstepEngine:
         collect: tuple[str, ...] | None = None,
     ) -> SuperstepResult:
         params = params or {}
+        if getattr(program, "msg_dim", None) and program.reducer != SUM:
+            raise ValueError("vector messages (msg_dim) require SUM")
         self._ensure_blocks(program.flow)
         ray.get([w.setup.remote(program, params) for w in self.workers])
 

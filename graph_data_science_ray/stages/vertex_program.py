@@ -44,7 +44,7 @@ class StepOutput:
     """What a program's compute() hands back to the engine for one superstep."""
 
     send_mask: np.ndarray            # bool [n_local] — which owned vertices emit
-    send_value: np.ndarray           # [n_local] scalar message per emitting vertex
+    send_value: np.ndarray           # [n_local] scalar (or [n_local, msg_dim] vector) message per emitting vertex
     halt_mask: np.ndarray | None = None   # bool [n_local] — voteToHalt (subset of active)
     changed: int = 0                 # program-specific change count (LP convergence)
     vote_weight: np.ndarray | None = None  # [n_local] per-sender vote weight (vote reducer)
@@ -117,6 +117,7 @@ class VertexProgram:
     reducer: str = SUM
     flow: str = "out"
     msg_dtype: str = "float64"
+    msg_dim: int | None = None       # None → scalar messages; d → [n, d] vector messages (SUM only)
     use_edge_weights: bool = False   # combine each scalar message with the edge weight
     edge_combine: str = "mul"        # 'mul' (PageRank weighting) | 'add' (SSSP relaxation)
     state_keys: tuple[str, ...] = ()  # columns persisted in checkpoints/results
