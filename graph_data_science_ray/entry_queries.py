@@ -570,6 +570,129 @@ def q_random_walks(sf_dir: str):
                         source_vids=suppkeys[:32])
 
 
+def q_sssp_paths(sf_dir: str):
+    """Dijkstra with path tracking on the weighted co-supply graph
+    (cost = shared-part count): (s_suppkey, dist, pred), pred = min
+    predecessor on a shortest path, -1 for source/unreachable."""
+    from .pipelines.traversal import shortest_path_predecessors
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="wsym")
+    src = int(suppkeys.min())
+    df = shortest_path_predecessors(graph, src)
+    df = df[df["vid"].isin(suppkeys)]
+    dist = df["dist"].to_numpy()
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "dist": np.round(np.where(np.isfinite(dist), dist, -1.0), _ROUND),
+        "pred": df["pred"].to_numpy(np.int64),
+    })
+
+
+def _nation_labels(sf_dir: str, n: int) -> np.ndarray:
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    labels = np.zeros(n, dtype=np.int64)
+    labels[supp["s_suppkey"].to_numpy(np.int64)] = \
+        supp["s_nationkey"].to_numpy(np.int64)
+    return labels
+
+
+def q_conductance(sf_dir: str):
+    """Conductance of the nation partition over the co-supply graph."""
+    from .pipelines.community_metrics import conductance
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="und")
+    out = conductance(graph, _nation_labels(sf_dir, graph.n))
+    return pa.table({
+        "community": out["community"].to_numpy(np.int64),
+        "conductance": np.round(out["conductance"].to_numpy(), _ROUND),
+    })
+
+
+def q_modularity_by_nation(sf_dir: str):
+    """Per-community modularity of the nation partition (gds.modularity
+    stream mode) over the co-supply graph."""
+    from .pipelines.community_metrics import modularity_by_community
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="und")
+    out = modularity_by_community(graph, _nation_labels(sf_dir, graph.n))
+    return pa.table({
+        "community": out["community"].to_numpy(np.int64),
+        "modularity": np.round(out["modularity"].to_numpy(), _ROUND),
+    })
+
+
+_CUST_VID_OFFSET = 200000
+
+
+def q_scc(sf_dir: str):
+    """SCC of the directed order-flow graph: customer→supplier for every
+    lineitem, supplier→customer for returned items ('R') — cycles exist
+    exactly where both directions occur."""
+    from .pipelines.scc import scc
+    from .sources.graph_build import build_int_graph
+    from .stages.superstep import PartitionedGraph as PG
+    import tempfile
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    okeys = orders["o_orderkey"].to_numpy(np.int64)
+    ocust = orders["o_custkey"].to_numpy(np.int64)
+    order_sorted = np.argsort(okeys)
+    okeys, ocust = okeys[order_sorted], ocust[order_sorted]
+    omap_ref = ray.put((okeys, ocust))
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok, oc = ray.get(omap_ref)
+        lo = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        su = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        rf = np.asarray(t["l_returnflag"].to_pylist())
+        cust = oc[np.searchsorted(ok, lo)] + _CUST_VID_OFFSET
+        ret = rf == "R"
+        return pa.table({
+            "src": np.concatenate([cust, su[ret]]),
+            "dst": np.concatenate([su, cust[ret]]),
+        })
+
+    edges = li.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cust_keys = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    ckeys = cust_keys["c_custkey"].to_numpy(np.int64) + _CUST_VID_OFFSET
+    suppkeys = _suppkeys(sf_dir)
+    all_vids = np.sort(np.concatenate([suppkeys, ckeys]))
+    n = int(all_vids.max()) + 1
+
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    mtime = int(os.stat(li_path).st_mtime) if os.path.exists(li_path) else 0
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{mtime}:orderflow".encode()).hexdigest()[:12]
+    graph_dir = os.path.join(tempfile.gettempdir(), "gds_query_graphs", tag)
+    if os.path.exists(os.path.join(graph_dir, "manifest.json")):
+        g = PG.from_manifest(graph_dir)
+    else:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        g = build_int_graph(edges, graph_dir, n, max(4, min(16, cpus)),
+                            lineage={"source": sf_dir,
+                                     "derivation": "order_flow"})
+    df = scc(g)
+    df = df[df["vid"].isin(all_vids)]
+    return pa.table({
+        "vid": df["vid"].to_numpy(np.int64),
+        "component": df["component"].to_numpy(np.int64),
+    })
+
+
+def q_dfs(sf_dir: str):
+    """DFS preorder from the smallest supplier key on the co-supply
+    graph, ascending-neighbor order (rows-only; inherently sequential
+    like the reference's DFS)."""
+    from .pipelines.traversal import dfs
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    out = dfs(graph, int(suppkeys.min()))
+    return pa.table({
+        "vid": out["vid"].to_numpy(np.int64),
+        "order": out["order"].to_numpy(np.int64),
+        "depth": out["depth"].to_numpy(np.int64),
+    })
+
+
 def q_fastrp(sf_dir: str):
     """FastRP embeddings on the co-supply graph via the engine's
     vector-valued message bundles (rows-only: random-projection values
@@ -719,12 +842,12 @@ def q_char_classes(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _CO_SUPPLY_SQL = """
-co_edges AS (
+co_edges AS MATERIALIZED (
     SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
     FROM lineitem a JOIN lineitem b
       ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
 ),
-co_sym AS (
+co_sym AS MATERIALIZED (
     SELECT src, dst FROM co_edges
     UNION ALL
     SELECT dst AS src, src AS dst FROM co_edges
@@ -757,14 +880,14 @@ ORDER BY s_suppkey""")
 
 
 _CO_SUPPLY_W_SQL = """
-co_w AS (
+co_w AS MATERIALIZED (
     SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
            COUNT(DISTINCT a.l_partkey) AS w
     FROM lineitem a JOIN lineitem b
       ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
     GROUP BY 1, 2
 ),
-co_wsym AS (
+co_wsym AS MATERIALIZED (
     SELECT src, dst, w FROM co_w
     UNION ALL
     SELECT dst AS src, src AS dst, w FROM co_w
@@ -829,6 +952,79 @@ ORDER BY s_suppkey""")
     return "\n".join(parts)
 
 
+def _sssp_paths_sql(rounds: int = 12) -> str:
+    """Bellman-Ford chained CTEs on the weighted co-supply graph; pred =
+    min predecessor u with dist(u) + w(u,v) == dist(v). Weights are
+    integer counts so float equality is exact on both sides; `rounds`
+    comfortably exceeds the weighted diameter at test scales."""
+    # every it_k is referenced twice by it_{k+1}; MATERIALIZED stops
+    # DuckDB's default CTE inlining from going exponential
+    parts = [f"WITH {_CO_SUPPLY_W_SQL.strip()},",
+             "srcn AS MATERIALIZED (SELECT MIN(s_suppkey) AS s FROM supplier),",
+             "nodes AS MATERIALIZED (SELECT s_suppkey AS vid FROM supplier),",
+             """it0 AS MATERIALIZED (SELECT vid,
+    CASE WHEN vid = (SELECT s FROM srcn) THEN 0.0 ELSE NULL END AS d
+    FROM nodes)"""]
+    for k in range(1, rounds):
+        parts.append(f""",
+it{k} AS MATERIALIZED (
+    SELECT n.vid,
+           LEAST(COALESCE(p.d, 1e308), COALESCE(c.m, 1e308)) AS d
+    FROM nodes n
+    LEFT JOIN it{k - 1} p ON p.vid = n.vid
+    LEFT JOIN (
+        SELECT e.dst AS vid, MIN(p.d + e.w) AS m
+        FROM co_wsym e JOIN it{k - 1} p ON p.vid = e.src
+        WHERE p.d IS NOT NULL
+        GROUP BY e.dst
+    ) c ON c.vid = n.vid
+)""")
+    last = f"it{rounds - 1}"
+    parts.append(f""",
+final AS MATERIALIZED (
+    SELECT vid, CASE WHEN d >= 1e308 THEN NULL ELSE d END AS d
+    FROM {last}),
+preds AS (
+    SELECT e.dst AS vid, MIN(e.src) AS pred
+    FROM co_wsym e
+    JOIN final a ON a.vid = e.src AND a.d IS NOT NULL
+    JOIN final b ON b.vid = e.dst AND b.d IS NOT NULL
+    WHERE a.d + e.w = b.d
+    GROUP BY e.dst
+)
+SELECT f.vid AS s_suppkey,
+       ROUND(COALESCE(f.d, -1.0), {_ROUND}) AS dist,
+       CAST(CASE WHEN f.vid = (SELECT s FROM srcn) THEN -1
+                 ELSE COALESCE(p.pred, -1) END AS BIGINT) AS pred
+FROM final f LEFT JOIN preds p ON p.vid = f.vid
+ORDER BY s_suppkey""")
+    return "\n".join(parts)
+
+
+_COMMUNITY_EDGE_SQL = """
+lab AS (SELECT s_suppkey AS v, s_nationkey AS c FROM supplier),
+ce AS (
+    SELECT la.c AS cu, lb.c AS cv
+    FROM co_edges e JOIN lab la ON la.v = e.src JOIN lab lb ON lb.v = e.dst
+),
+per AS (
+    SELECT c, SUM(vol) AS vol, SUM(cut) AS cut, SUM(internal) AS internal
+    FROM (
+        SELECT cu AS c, 1.0 AS vol,
+               CASE WHEN cu <> cv THEN 1.0 ELSE 0.0 END AS cut,
+               CASE WHEN cu = cv THEN 1.0 ELSE 0.0 END AS internal
+        FROM ce
+        UNION ALL
+        SELECT cv, 1.0,
+               CASE WHEN cu <> cv THEN 1.0 ELSE 0.0 END,
+               CASE WHEN cu = cv THEN 1.0 ELSE 0.0 END
+        FROM ce
+    ) GROUP BY c
+),
+tot AS (SELECT SUM(vol) AS t FROM per)
+"""
+
+
 def _articlerank_sql(iterations: int = 20, damping: float = 0.85) -> str:
     alpha = 1.0 - damping
     parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
@@ -867,6 +1063,46 @@ SELECT s.s_suppkey, COALESCE(deg.d, 0) AS degree
 FROM supplier s LEFT JOIN deg ON deg.k = s.s_suppkey
 ORDER BY s.s_suppkey""",
     "pagerank": _pagerank_sql(),
+    "sssp_paths": _sssp_paths_sql(),
+    "conductance": f"""
+WITH {_CO_SUPPLY_SQL.strip()},
+{_COMMUNITY_EDGE_SQL.strip()}
+SELECT c AS community,
+       ROUND(CASE WHEN LEAST(vol, t - vol) > 0
+                  THEN cut / LEAST(vol, t - vol) ELSE 0.0 END,
+             {_ROUND}) AS conductance
+FROM per, tot ORDER BY community""",
+    "modularity_by_nation": f"""
+WITH {_CO_SUPPLY_SQL.strip()},
+{_COMMUNITY_EDGE_SQL.strip()}
+SELECT c AS community,
+       ROUND(internal / t - (vol / t) * (vol / t), {_ROUND}) AS modularity
+FROM per, tot ORDER BY community""",
+    "scc": f"""
+WITH RECURSIVE eflow AS (
+    SELECT DISTINCT {_CUST_VID_OFFSET} + o.o_custkey AS src,
+           CAST(l.l_suppkey AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION
+    SELECT DISTINCT CAST(l.l_suppkey AS BIGINT),
+           {_CUST_VID_OFFSET} + o.o_custkey
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+),
+nodes AS (
+    SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier
+    UNION SELECT {_CUST_VID_OFFSET} + c_custkey FROM customer
+),
+reach(s, v) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT reach.s, eflow.dst FROM reach JOIN eflow ON eflow.src = reach.v
+),
+mutual AS (
+    SELECT a.s AS u, a.v AS w
+    FROM reach a JOIN reach b ON b.s = a.v AND b.v = a.s
+)
+SELECT u AS vid, MIN(w) AS component FROM mutual GROUP BY u ORDER BY vid""",
     "pagerank_weighted": _pagerank_weighted_sql(),
     "pagerank_personalized": _pagerank_personalized_sql(),
     "wcc_seeded": f"""
@@ -1111,6 +1347,11 @@ QUERIES = {
     "knn": q_knn,
     "knn_descent": q_knn_descent,
     "fastrp": q_fastrp,
+    "sssp_paths": q_sssp_paths,
+    "conductance": q_conductance,
+    "modularity_by_nation": q_modularity_by_nation,
+    "scc": q_scc,
+    "dfs": q_dfs,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
     "collapse_path": q_collapse_path,

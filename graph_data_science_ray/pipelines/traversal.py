@@ -119,6 +119,131 @@ def sssp(graph: PartitionedGraph, source_vid: int, flow: str = "out",
             eng.shutdown()
 
 
+def dfs(graph: PartitionedGraph, source_vid: int,
+        max_depth: int | None = None) -> pd.DataFrame:
+    """(vid, order, depth) DFS preorder from source, neighbors visited
+    in ascending vid order — parity with paths/traverse/DFS.java.
+
+    DFS is inherently sequential (P-complete); like the reference, the
+    traversal itself runs single-threaded over the CSR (streamed from
+    the parquet blocks once). Use bfs/sssp for the distributed
+    frontier algorithms."""
+    from .walks import _graph_csr
+    indptr, indices = _graph_csr(graph)
+    visited = np.zeros(graph.n, dtype=bool)
+    order_out, depth_out = [], []
+    stack = [(int(source_vid), 0)]
+    while stack:
+        v, d = stack.pop()
+        if visited[v]:
+            continue
+        visited[v] = True
+        order_out.append(v)
+        depth_out.append(d)
+        if max_depth is not None and d >= max_depth:
+            continue
+        nbrs = indices[indptr[v]:indptr[v + 1]]
+        # push descending so the smallest vid pops first
+        for w in nbrs[::-1]:
+            if not visited[w]:
+                stack.append((int(w), d + 1))
+    return pd.DataFrame({
+        "vid": np.array(order_out, dtype=np.int64),
+        "order": np.arange(len(order_out), dtype=np.int64),
+        "depth": np.array(depth_out, dtype=np.int64),
+    })
+
+
+def shortest_path_predecessors(
+    graph: PartitionedGraph,
+    source_vid: int,
+    flow: str = "out",
+    num_parts: int | None = None,
+    engine: SuperstepEngine | None = None,
+) -> pd.DataFrame:
+    """(vid, dist, pred) — Dijkstra-with-path-tracking output
+    (paths/dijkstra/Dijkstra.java:1-329 predecessor array). Distances
+    come from the SSSP fixpoint; predecessors from ONE distributed pass
+    over the edge table against the broadcast distance array:
+    pred(v) = min u with dist(u) + w(u,v) == dist(v). Unreachable and
+    source vertices get pred = -1. Reconstruct a concrete path with
+    ``reconstruct_path``."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.shuffle import aggregate_rows
+    res = sssp(graph, source_vid, flow=flow, num_parts=num_parts,
+               engine=engine)
+    df = res.to_pandas()
+    n = graph.n
+    dist = np.full(n, np.inf)
+    dist[df["vid"].to_numpy()] = df["dist"].to_numpy()
+    dist_ref = ray.put(dist)
+    cols = ("src", "dst", "weight") if graph.weighted else ("src", "dst")
+    edges = graph.edges_dataset(cols, flow="out")
+
+    def pred_partial(t: pa.Table) -> pa.Table:
+        d = ray.get(dist_ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = (t["weight"].to_numpy(zero_copy_only=False)
+             if "weight" in t.column_names else np.ones(len(src)))
+        if flow == "in":
+            src, dst = dst, src
+        cand = d[src] + w
+        ok = np.isfinite(cand) & np.isclose(cand, d[dst], rtol=1e-12,
+                                            atol=1e-12)
+        # per-batch partial min-pred (compact)
+        dsts, srcs = dst[ok], src[ok]
+        if len(dsts) == 0:
+            return pa.table({"vid": np.empty(0, np.int64),
+                             "score": np.empty(0, np.float64)})
+        order = np.lexsort((srcs, dsts))
+        dsts, srcs = dsts[order], srcs[order]
+        first = np.r_[True, dsts[1:] != dsts[:-1]]
+        return pa.table({"vid": dsts[first], "score": srcs[first].astype(
+            np.float64)})
+
+    # min per vid: reuse the bucketed sum helper shape with a min kernel
+    partials = edges.map_batches(pred_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def add_bucket(dfb: pd.DataFrame) -> pd.DataFrame:
+        dfb = dfb.copy()
+        dfb["__bucket"] = dfb["vid"].to_numpy() % 32
+        return dfb
+
+    def min_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("vid", sort=False)["score"].min().reset_index()
+
+    pred_df = (partials.map_batches(add_bucket, batch_format="pandas")
+               .groupby("__bucket")
+               .map_groups(min_kernel, batch_format="pandas")
+               .to_pandas())
+    pred = np.full(n, -1, dtype=np.int64)
+    if len(pred_df):
+        pred[pred_df["vid"].to_numpy(np.int64)] = \
+            pred_df["score"].to_numpy().astype(np.int64)
+    pred[source_vid] = -1
+    pred[~np.isfinite(dist)] = -1
+    return pd.DataFrame({"vid": np.arange(n, dtype=np.int64),
+                         "dist": dist, "pred": pred})
+
+
+def reconstruct_path(preds: pd.DataFrame, target_vid: int) -> list[int]:
+    """Walk the predecessor chain back to the source; [] if unreachable."""
+    pred = preds.set_index("vid")["pred"]
+    dist = preds.set_index("vid")["dist"]
+    if not np.isfinite(dist.loc[target_vid]):
+        return []
+    path = [int(target_vid)]
+    v = int(target_vid)
+    while pred.loc[v] >= 0:
+        v = int(pred.loc[v])
+        path.append(v)
+    return path[::-1]
+
+
 class MSBFSProgram(VertexProgram):
     reducer = OR
     msg_dtype = "int64"
