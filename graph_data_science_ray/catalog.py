@@ -50,3 +50,32 @@ class GraphCatalog:
     def path_for(self, name: str) -> str:
         """Target directory for building a new catalog entry."""
         return self._dir(name)
+
+
+def graph_summary(graph: PartitionedGraph,
+                  orientation: str = "natural") -> dict:
+    """gds.graph.list-style summary with the degree distribution block
+    (GraphListProc: min/mean/max + p50/p75/p90/p99 percentiles).
+
+    Degrees come from the distributed partial-bincount pipeline; only
+    the O(V) degree vector reaches the driver for the percentile pass
+    (np.percentile linear interpolation == SQL PERCENTILE_CONT)."""
+    import numpy as np
+
+    from .pipelines.degree import degree_centrality
+    deg = degree_centrality(graph, orientation=orientation)["score"]
+    d = deg.to_numpy()
+    pct = (np.percentile(d, [50, 75, 90, 99]) if len(d)
+           else np.zeros(4))
+    return {
+        "nodeCount": graph.n,
+        "relationshipCount": graph.num_edges,
+        "weighted": graph.weighted,
+        "degreeMin": float(d.min()) if len(d) else 0.0,
+        "degreeMean": float(d.mean()) if len(d) else 0.0,
+        "degreeMax": float(d.max()) if len(d) else 0.0,
+        "degreeP50": float(pct[0]),
+        "degreeP75": float(pct[1]),
+        "degreeP90": float(pct[2]),
+        "degreeP99": float(pct[3]),
+    }

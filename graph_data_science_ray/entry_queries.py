@@ -693,6 +693,74 @@ def q_dfs(sf_dir: str):
     })
 
 
+def q_graph_list(sf_dir: str):
+    """gds.graph.list-style degree-distribution summary of the co-supply
+    graph, restricted to actual supplier vids."""
+    from .pipelines.degree import degree_centrality
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    deg = degree_centrality(graph, orientation="natural")["score"].to_numpy()
+    d = deg[suppkeys]
+    pct = np.percentile(d, [50, 75, 90, 99]) if len(d) else np.zeros(4)
+    return pa.table({
+        "node_count": [np.int64(len(suppkeys))],
+        "relationship_count": [np.int64(graph.num_edges)],
+        "degree_min": [np.round(float(d.min()) if len(d) else 0.0, _ROUND)],
+        "degree_mean": [np.round(float(d.mean()) if len(d) else 0.0, _ROUND)],
+        "degree_max": [np.round(float(d.max()) if len(d) else 0.0, _ROUND)],
+        "degree_p50": [np.round(pct[0], _ROUND)],
+        "degree_p75": [np.round(pct[1], _ROUND)],
+        "degree_p90": [np.round(pct[2], _ROUND)],
+        "degree_p99": [np.round(pct[3], _ROUND)],
+    })
+
+
+def q_spanning_tree(sf_dir: str):
+    """Minimum spanning forest of the weighted co-supply graph
+    (distributed Borůvka; rows-only — MST edges aren't naturally
+    SQL-expressible; total-weight parity vs Prim asserted in pytest)."""
+    from .pipelines.spanning_tree import spanning_tree
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="wsym")
+    out = spanning_tree(graph)
+    return pa.table({
+        "src": out["src"].to_numpy(np.int64),
+        "dst": out["dst"].to_numpy(np.int64),
+        "weight": np.round(out["weight"].to_numpy(), _ROUND),
+    })
+
+
+def q_yens(sf_dir: str):
+    """Yen's 3 shortest loopless paths between the smallest and largest
+    supplier keys on the weighted co-supply graph (rows-only; exact
+    enumeration parity in pytest)."""
+    from .pipelines.paths_extra import yens_k_shortest
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="wsym")
+    out = yens_k_shortest(graph, int(suppkeys.min()), int(suppkeys.max()),
+                          k=3)
+    return pa.table({
+        "rank": out["rank"].to_numpy(np.int64) if len(out) else
+        np.empty(0, np.int64),
+        "total_cost": np.round(np.asarray(out["total_cost"], np.float64),
+                               _ROUND),
+        "path": pa.array([list(map(int, p)) for p in out["path"]],
+                         type=pa.list_(pa.int64())),
+    })
+
+
+def q_split_relationships(sf_dir: str):
+    """Train/test edge split with negative sampling (rows-only;
+    invariants asserted in pytest)."""
+    from .pipelines.split import split_relationships
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="und")
+    _train, test = split_relationships(graph, holdout_fraction=0.2,
+                                       seed=42)
+    out = test.to_pandas().sort_values(["label", "src", "dst"])
+    return pa.table({
+        "src": out["src"].to_numpy(np.int64),
+        "dst": out["dst"].to_numpy(np.int64),
+        "label": out["label"].to_numpy(np.int64),
+    })
+
+
 def q_fastrp(sf_dir: str):
     """FastRP embeddings on the co-supply graph via the engine's
     vector-valued message bundles (rows-only: random-projection values
@@ -1105,6 +1173,28 @@ mutual AS (
 SELECT u AS vid, MIN(w) AS component FROM mutual GROUP BY u ORDER BY vid""",
     "pagerank_weighted": _pagerank_weighted_sql(),
     "pagerank_personalized": _pagerank_personalized_sql(),
+    "graph_list": f"""
+WITH {_CO_SUPPLY_SQL.strip()},
+deg AS (
+    SELECT s.s_suppkey, CAST(COALESCE(d.c, 0) AS DOUBLE) AS deg
+    FROM supplier s LEFT JOIN (
+        SELECT src, COUNT(*) AS c FROM co_sym GROUP BY src
+    ) d ON d.src = s.s_suppkey
+)
+SELECT (SELECT COUNT(*) FROM supplier) AS node_count,
+       (SELECT COUNT(*) FROM co_sym) AS relationship_count,
+       ROUND(MIN(deg), {_ROUND}) AS degree_min,
+       ROUND(AVG(deg), {_ROUND}) AS degree_mean,
+       ROUND(MAX(deg), {_ROUND}) AS degree_max,
+       ROUND(PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY deg),
+             {_ROUND}) AS degree_p50,
+       ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY deg),
+             {_ROUND}) AS degree_p75,
+       ROUND(PERCENTILE_CONT(0.90) WITHIN GROUP (ORDER BY deg),
+             {_ROUND}) AS degree_p90,
+       ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY deg),
+             {_ROUND}) AS degree_p99
+FROM deg""",
     "wcc_seeded": f"""
 WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
 reach(v, r) AS (
@@ -1184,10 +1274,13 @@ ORDER BY node1, node2""",
 WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
 srcn AS (SELECT MIN(s_suppkey) AS s FROM supplier),
 reach(v, d) AS (
+    -- depth capped at |V|: a shortest path can't exceed n-1 hops, so
+    -- unlike a fixed constant this bound never truncates BFS
     SELECT s, 0 FROM srcn
     UNION
     SELECT e.dst, reach.d + 1
-    FROM reach JOIN co_sym e ON e.src = reach.v WHERE reach.d < 20
+    FROM reach JOIN co_sym e ON e.src = reach.v
+    WHERE reach.d < (SELECT COUNT(*) FROM supplier)
 ),
 dist AS (SELECT v, MIN(d) AS d FROM reach GROUP BY v)
 SELECT s.s_suppkey, CAST(COALESCE(dist.d, -1) AS BIGINT) AS dist
@@ -1196,10 +1289,12 @@ ORDER BY s.s_suppkey""",
     "closeness": f"""
 WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
 reach(s, v, d) AS (
+    -- depth capped at |V| (see bfs_hops) — never truncates
     SELECT s_suppkey, s_suppkey, 0 FROM supplier
     UNION
     SELECT reach.s, e.dst, reach.d + 1
-    FROM reach JOIN co_sym e ON e.src = reach.v WHERE reach.d < 20
+    FROM reach JOIN co_sym e ON e.src = reach.v
+    WHERE reach.d < (SELECT COUNT(*) FROM supplier)
 ),
 dist AS (SELECT s, v, MIN(d) AS d FROM reach GROUP BY s, v),
 agg AS (SELECT v, SUM(d) AS farness, COUNT(*) AS reached,
@@ -1352,6 +1447,10 @@ QUERIES = {
     "modularity_by_nation": q_modularity_by_nation,
     "scc": q_scc,
     "dfs": q_dfs,
+    "graph_list": q_graph_list,
+    "spanning_tree": q_spanning_tree,
+    "yens": q_yens,
+    "split_relationships": q_split_relationships,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
     "collapse_path": q_collapse_path,

@@ -1,0 +1,155 @@
+"""Minimum spanning tree/forest — parity with gds.spanningTree
+(alpha/.../spanningtree/Prim.java semantics: undirected weighted MST;
+minimum by default, tie-break toward smaller endpoint ids).
+
+Distributed formulation: BORŮVKA rounds over the edge Dataset (the
+textbook distributed MST — Prim's frontier heap is inherently
+sequential, but both produce a minimum spanning forest; with distinct
+weights the edge sets are identical, with ties Borůvka's lexicographic
+(w, u, v) rule makes the output deterministic):
+
+  repeat O(log V) times:
+    1. map_batches: relabel edge endpoints by current component
+       (broadcast label array), drop internal edges;
+    2. per-component minimum outgoing edge via compact per-batch
+       partials + hash-bucketed min-combine;
+    3. driver union-find over the ≤ #components chosen edges (tiny).
+
+Each round at least halves the component count. Only the label array
+(O(V)) and the per-round chosen edges (≤ #components) are
+driver-resident."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..stages.superstep import PartitionedGraph
+
+
+def spanning_tree(graph: PartitionedGraph,
+                  max_rounds: int = 64) -> pd.DataFrame:
+    """(src, dst, weight) MST/forest edges, canonical src < dst."""
+    n = graph.n
+    labels = np.arange(n, dtype=np.int64)
+    cols = ("src", "dst", "weight") if graph.weighted else ("src", "dst")
+    chosen_s, chosen_d, chosen_w = [], [], []
+
+    for _ in range(max_rounds):
+        labels_ref = ray.put(labels)
+        edges = graph.edges_dataset(cols, flow="out")
+
+        def partial(t: pa.Table) -> pa.Table:
+            lab = ray.get(labels_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            w = (t["weight"].to_numpy(zero_copy_only=False).astype(
+                np.float64) if "weight" in t.column_names
+                else np.ones(len(src)))
+            ls, ld = lab[src], lab[dst]
+            ext = ls != ld
+            src, dst, w, ls, ld = src[ext], dst[ext], w[ext], ls[ext], ld[ext]
+            if len(src) == 0:
+                return pa.table({"comp": np.empty(0, np.int64),
+                                 "w": np.empty(0, np.float64),
+                                 "u": np.empty(0, np.int64),
+                                 "v": np.empty(0, np.int64)})
+            # each edge is a candidate for BOTH endpoint components;
+            # keep the per-batch minimum (w, u, v) per component
+            comp = np.concatenate([ls, ld])
+            cu = np.concatenate([np.minimum(src, dst)] * 2)
+            cv = np.concatenate([np.maximum(src, dst)] * 2)
+            cw = np.concatenate([w, w])
+            order = np.lexsort((cv, cu, cw, comp))
+            comp, cu, cv, cw = comp[order], cu[order], cv[order], cw[order]
+            first = np.r_[True, comp[1:] != comp[:-1]]
+            return pa.table({"comp": comp[first], "w": cw[first],
+                             "u": cu[first], "v": cv[first]})
+
+        partials = edges.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__bucket"] = df["comp"].to_numpy() % 32
+            return df
+
+        def min_kernel(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(["comp", "w", "u", "v"])
+            return g.drop_duplicates("comp", keep="first")[
+                ["comp", "w", "u", "v"]]
+
+        best = (partials.map_batches(add_bucket, batch_format="pandas")
+                .groupby("__bucket")
+                .map_groups(min_kernel, batch_format="pandas")
+                .to_pandas())
+        if best.empty:
+            break
+        u = best["u"].to_numpy(np.int64)
+        v = best["v"].to_numpy(np.int64)
+        w = best["w"].to_numpy(np.float64)
+        # union-find over the chosen edges; dedup (u, v) first — both
+        # endpoint components may have picked the same edge
+        uniq = pd.DataFrame({"u": u, "v": v, "w": w}).drop_duplicates(
+            ["u", "v"])
+        merged_any = False
+        for uu, vv, ww in uniq.itertuples(index=False):
+            ru, rv = labels[uu], labels[vv]
+            while ru != labels[ru]:
+                ru = labels[ru]
+            while rv != labels[rv]:
+                rv = labels[rv]
+            if ru == rv:
+                continue
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            labels[hi] = lo
+            chosen_s.append(int(uu))
+            chosen_d.append(int(vv))
+            chosen_w.append(float(ww))
+            merged_any = True
+        # path-compress labels fully (vectorized pointer jumping)
+        while True:
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        if not merged_any:
+            break
+
+    out = pd.DataFrame({"src": np.array(chosen_s, dtype=np.int64),
+                        "dst": np.array(chosen_d, dtype=np.int64),
+                        "weight": np.array(chosen_w, dtype=np.float64)})
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def prim_reference(n: int, src: np.ndarray, dst: np.ndarray,
+                   w: np.ndarray) -> float:
+    """Total MST/forest weight oracle (Prim per component)."""
+    import heapq
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    ww = np.concatenate([w, w])
+    order = np.lexsort((d, s))
+    s, d, ww = s[order], d[order], ww[order]
+    indptr = np.searchsorted(s, np.arange(n + 1))
+    visited = np.zeros(n, dtype=bool)
+    total = 0.0
+    for root in range(n):
+        if visited[root]:
+            continue
+        visited[root] = True
+        heap = []
+        for ei in range(indptr[root], indptr[root + 1]):
+            heapq.heappush(heap, (float(ww[ei]), int(d[ei])))
+        while heap:
+            cost, v = heapq.heappop(heap)
+            if visited[v]:
+                continue
+            visited[v] = True
+            total += cost
+            for ei in range(indptr[v], indptr[v + 1]):
+                if not visited[d[ei]]:
+                    heapq.heappush(heap, (float(ww[ei]), int(d[ei])))
+    return total

@@ -781,6 +781,13 @@ class SuperstepEngine:
 
         start_iter = 0
         prev = None
+        if resume and checkpoint_dir and program.needs_master:
+            # program-level master state (e.g. Louvain volumes) is not in
+            # the per-partition checkpoint; resuming would run the first
+            # superstep with master_value=None and corrupt the run
+            raise ValueError(
+                "checkpoint resume is not supported for needs_master "
+                "programs: master state is not checkpointed")
         if resume and checkpoint_dir:
             last = latest_complete_iteration(checkpoint_dir, self.P)
             if last is not None:

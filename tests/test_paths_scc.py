@@ -67,6 +67,76 @@ def test_scc_cycle_and_dag(ray_session):
     assert got.tolist() == [0, 0, 0, 3, 4]
 
 
+def test_yens_k_shortest(weighted_digraph):
+    from graph_data_science_ray.pipelines.paths_extra import (
+        dijkstra_path, yens_k_shortest)
+    cost, path = dijkstra_path(weighted_digraph, 0, 3)
+    assert cost == 4 and path == [0, 1, 2, 3]
+    out = yens_k_shortest(weighted_digraph, 0, 3, k=3)
+    assert out["total_cost"].tolist() == [4.0, 5.0, 6.0]
+    assert out["path"].tolist() == [[0, 1, 2, 3], [0, 2, 3], [0, 1, 3]]
+
+
+def test_spanning_tree_matches_prim(ray_session):
+    from graph_data_science_ray.pipelines.spanning_tree import (
+        prim_reference, spanning_tree)
+    rng = np.random.default_rng(23)
+    n = 40
+    src = rng.integers(0, n, 150).astype(np.int64)
+    dst = rng.integers(0, n, 150).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.permutation(len(src)).astype(np.float64) + 1.0  # distinct
+    g = PartitionedGraph.from_arrays(n, src, dst, w)
+    mst = spanning_tree(g)
+    total = mst["weight"].sum()
+    expect = prim_reference(n, src, dst, w)
+    assert np.isclose(total, expect)
+    # forest: |edges| = n - #components
+    from graph_data_science_ray.pipelines.wcc import _local_min_labels
+    labels = _local_min_labels(n, np.arange(n, dtype=np.int64), src, dst)
+    assert len(mst) == n - len(np.unique(labels))
+
+
+def test_split_relationships(ray_session):
+    from graph_data_science_ray.pipelines.split import split_relationships
+    rng = np.random.default_rng(31)
+    n = 200
+    u = rng.integers(0, n, 600).astype(np.int64)
+    v = rng.integers(0, n, 600).astype(np.int64)
+    keep = u != v
+    lo, hi = np.minimum(u[keep], v[keep]), np.maximum(u[keep], v[keep])
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    g = PartitionedGraph.from_arrays(n, pairs[:, 0], pairs[:, 1])
+    train, test = split_relationships(g, holdout_fraction=0.3, seed=7)
+    tr = train.to_pandas()
+    te = test.to_pandas()
+    n_pos = int((te["label"] == 1).sum())
+    n_neg = int((te["label"] == 0).sum())
+    assert len(tr) + n_pos == len(pairs)
+    assert 0.15 * len(pairs) < n_pos < 0.45 * len(pairs)
+    assert n_neg <= n_pos  # limit() caps at the positive count
+    edge_set = {(int(a), int(b)) for a, b in pairs}
+    neg = te[te["label"] == 0]
+    for a, b in zip(neg["src"], neg["dst"]):
+        assert (int(a), int(b)) not in edge_set and a < b
+    # deterministic across reruns
+    _, test2 = split_relationships(g, holdout_fraction=0.3, seed=7)
+    te2 = test2.to_pandas()
+    assert set(map(tuple, te.to_numpy())) == set(map(tuple, te2.to_numpy()))
+
+
+def test_graph_summary(ray_session):
+    from graph_data_science_ray.catalog import graph_summary
+    src = np.array([0, 0, 0, 1], dtype=np.int64)
+    dst = np.array([1, 2, 3, 2], dtype=np.int64)
+    g = PartitionedGraph.from_arrays(4, src, dst)
+    s = graph_summary(g, orientation="undirected")
+    assert s["nodeCount"] == 4 and s["relationshipCount"] == 4
+    assert s["degreeMax"] == 3.0 and s["degreeMean"] == 2.0
+    assert s["degreeP50"] == 2.0
+
+
 def test_community_metrics(ray_session):
     # two triangles joined by one edge; labels = triangle id
     src = np.array([0, 1, 2, 3, 4, 5, 2], dtype=np.int64)

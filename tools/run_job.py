@@ -80,8 +80,14 @@ def main() -> None:
         collect = ("label",)
         kwargs = {"convergence": "changed", "convergence_window": 16}
 
+    # for labelprop, --max-iterations means SWEEPS (like the library
+    # wrapper): one full sweep is `waves` supersteps
+    max_supersteps = args.max_iterations
+    if args.algorithm == "labelprop":
+        max_supersteps = args.max_iterations * 16 + 1
+
     t0 = time.perf_counter()
-    res = engine.run(prog, max_iterations=args.max_iterations,
+    res = engine.run(prog, max_iterations=max_supersteps,
                      checkpoint_dir=args.checkpoint_dir,
                      checkpoint_interval=(args.checkpoint_interval
                                           if args.checkpoint_dir else 0),
