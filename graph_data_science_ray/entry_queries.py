@@ -693,6 +693,19 @@ def q_dfs(sf_dir: str):
     })
 
 
+def q_influence_max(sf_dir: str):
+    """CELF greedy seed selection under the IC model (rows-only:
+    Monte-Carlo spread; greedy/star-graph properties in pytest)."""
+    from .pipelines.influence import celf_influence_maximization
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    # low p keeps cascades shallow on the dense co-supply graph (the
+    # union-frontier across packed simulations otherwise touches every
+    # edge each round)
+    return celf_influence_maximization(
+        graph, seed_set_size=5, propagation_probability=0.01,
+        monte_carlo_simulations=31)
+
+
 def q_graph_list(sf_dir: str):
     """gds.graph.list-style degree-distribution summary of the co-supply
     graph, restricted to actual supplier vids."""
@@ -1448,6 +1461,7 @@ QUERIES = {
     "scc": q_scc,
     "dfs": q_dfs,
     "graph_list": q_graph_list,
+    "influence_max": q_influence_max,
     "spanning_tree": q_spanning_tree,
     "yens": q_yens,
     "split_relationships": q_split_relationships,

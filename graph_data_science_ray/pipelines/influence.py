@@ -1,0 +1,163 @@
+"""Influence maximization (CELF) — parity with gds.alpha.influenceMaximization
+(alpha/.../influenceMaximization/CELF.java: greedy seed selection under
+the Independent Cascade model with Monte-Carlo spread estimation and
+lazy-forward re-evaluation).
+
+Ray-Data shape: spread estimation is the expensive part — estimating a
+candidate set's spread needs `mc` independent cascade simulations, each
+a BFS over a random edge subset. All `mc` simulations run in ONE
+multi-source-BFS-style vectorized pass per candidate using hash-seeded
+edge liveness (deterministic per (simulation, edge)), batched over
+simulations in bitmask words of 62 like the MS-BFS closeness kernel.
+The per-candidate evaluations are distributed over an actor-less
+map_batches task pool (one task per candidate batch, CSR broadcast);
+CELF's lazy-forward queue lives on the driver (it's O(candidates) and
+inherently sequential — same as the reference)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..stages.superstep import PartitionedGraph
+
+
+def _sim_hash_u01(edge_idx: np.ndarray, sim: int, seed: int) -> np.ndarray:
+    # fold the per-sim constant in Python ints (a np.uint64 scalar
+    # multiply warns through the scalar path)
+    sim_mix = np.uint64((sim * 0xC2B2AE3D27D4EB4F + seed) % (1 << 64))
+    x = edge_idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + sim_mix
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _spread(indptr, indices, seeds: np.ndarray, p: float, mc: int,
+            seed: int) -> float:
+    """Mean IC-model spread of `seeds` over mc simulations — simulations
+    packed 62 per int64 bitmask, BFS rounds fully vectorized."""
+    n = len(indptr) - 1
+    total = 0.0
+    deg = np.diff(indptr)
+    for lo in range(0, mc, 62):
+        width = min(62, mc - lo)
+        full = np.int64((1 << width) - 1)
+        active = np.zeros(n, dtype=np.int64)
+        active[seeds] = full
+        visited = active.copy()
+        frontier = seeds.copy()
+        while len(frontier):
+            # expand all frontier vertices' edges at once
+            from ..state.blocks import ranges_to_indices
+            counts = deg[frontier]
+            owner = np.repeat(frontier, counts)
+            eidx = ranges_to_indices(indptr[frontier], indptr[frontier + 1])
+            tgt = indices[eidx]
+            masks = active[owner]
+            # per-(edge, simulation) liveness: one hash per sim word bit
+            live = np.zeros(len(eidx), dtype=np.int64)
+            for b in range(width):
+                u = _sim_hash_u01(eidx, lo + b, seed)
+                live |= (u < p).astype(np.int64) << np.int64(b)
+            send = masks & live
+            keep = send != 0
+            tgt, send = tgt[keep], send[keep]
+            if len(tgt) == 0:
+                break
+            order = np.argsort(tgt, kind="stable")
+            tgt, send = tgt[order], send[order]
+            runs = np.flatnonzero(np.r_[True, tgt[1:] != tgt[:-1]])
+            utgt = tgt[runs]
+            agg = np.bitwise_or.reduceat(send, runs)
+            new = agg & ~visited[utgt]
+            nz = new != 0
+            utgt, new = utgt[nz], new[nz]
+            visited[utgt] |= new
+            active = np.zeros(n, dtype=np.int64)
+            active[utgt] = new
+            frontier = utgt
+        total += float(
+            np.unpackbits(visited.view(np.uint8).reshape(n, 8),
+                          axis=1).sum())
+    return total / mc
+
+
+class _SpreadEvaluator:
+    """Task kernel: evaluate marginal spreads for a batch of candidate
+    vertices against the broadcast CSR + current seed set."""
+
+    def __init__(self, csr_ref, seeds_ref, p, mc, seed):
+        self.csr_ref = csr_ref
+        self.seeds_ref = seeds_ref
+        self.p = p
+        self.mc = mc
+        self.seed = seed
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        indptr, indices = ray.get(self.csr_ref)
+        seeds = ray.get(self.seeds_ref)
+        cands = t["candidate"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(cands))
+        for i, c in enumerate(cands):
+            s = np.concatenate([seeds, [c]]).astype(np.int64)
+            out[i] = _spread(indptr, indices, s, self.p, self.mc, self.seed)
+        return pa.table({"candidate": cands,
+                         "spread": out})
+
+
+def celf_influence_maximization(
+    graph: PartitionedGraph,
+    seed_set_size: int = 5,
+    propagation_probability: float = 0.1,
+    monte_carlo_simulations: int = 62,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """(node, spread_gain, order) — greedy CELF seed selection.
+
+    Round 1 evaluates EVERY vertex's spread distributed (map_batches
+    over the candidate list); later rounds use the lazy-forward queue,
+    re-evaluating only the queue head until it stays on top (the CELF
+    property), each re-evaluation a driver-side vectorized cascade."""
+    from .walks import _graph_csr
+    indptr, indices = _graph_csr(graph)
+    n = graph.n
+    csr_ref = ray.put((indptr, indices))
+    seeds_ref = ray.put(np.empty(0, dtype=np.int64))
+    cands = rd.from_arrow(pa.table({
+        "candidate": np.arange(n, dtype=np.int64)}))
+    first = cands.map_batches(
+        _SpreadEvaluator(csr_ref, seeds_ref, propagation_probability,
+                         monte_carlo_simulations, seed),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=32,
+    ).to_pandas()
+    gains = first.sort_values(["spread", "candidate"],
+                              ascending=[False, True])
+    # lazy-forward queue: (−gain, candidate, evaluated_at_round)
+    queue = [(-g, int(c), 0) for c, g in
+             zip(gains["candidate"], gains["spread"])]
+    import heapq
+    heapq.heapify(queue)
+    chosen: list[int] = []
+    chosen_gain: list[float] = []
+    base_spread = 0.0
+    while len(chosen) < min(seed_set_size, n) and queue:
+        neg, cand, at = heapq.heappop(queue)
+        if at == len(chosen):
+            chosen.append(cand)
+            chosen_gain.append(-neg)
+            base_spread += -neg
+        else:
+            s = np.array(chosen + [cand], dtype=np.int64)
+            spread = _spread(indptr, indices, s, propagation_probability,
+                             monte_carlo_simulations, seed)
+            heapq.heappush(queue, (-(spread - base_spread), cand,
+                                   len(chosen)))
+    return pd.DataFrame({
+        "node": np.array(chosen, dtype=np.int64),
+        "spread_gain": np.round(np.array(chosen_gain), 6),
+        "order": np.arange(len(chosen), dtype=np.int64),
+    })

@@ -126,6 +126,29 @@ def test_split_relationships(ray_session):
     assert set(map(tuple, te.to_numpy())) == set(map(tuple, te2.to_numpy()))
 
 
+def test_celf_influence(ray_session):
+    from graph_data_science_ray.pipelines.influence import (
+        celf_influence_maximization)
+    # hub 0 → 1..9 plus a separate chain 10→11→12: the hub must be the
+    # first seed, and gains must be non-increasing (submodularity)
+    src = np.concatenate([np.zeros(9, np.int64),
+                          np.array([10, 11], np.int64)])
+    dst = np.concatenate([np.arange(1, 10, dtype=np.int64),
+                          np.array([11, 12], np.int64)])
+    g = PartitionedGraph.from_arrays(13, src, dst)
+    out = celf_influence_maximization(g, seed_set_size=3,
+                                      propagation_probability=0.5,
+                                      monte_carlo_simulations=62)
+    assert out["node"].iloc[0] == 0
+    gains = out["spread_gain"].to_numpy()
+    assert (np.diff(gains) <= 1e-9).all()
+    # deterministic
+    out2 = celf_influence_maximization(g, seed_set_size=3,
+                                       propagation_probability=0.5,
+                                       monte_carlo_simulations=62)
+    assert out["node"].tolist() == out2["node"].tolist()
+
+
 def test_graph_summary(ray_session):
     from graph_data_science_ray.catalog import graph_summary
     src = np.array([0, 0, 0, 1], dtype=np.int64)
