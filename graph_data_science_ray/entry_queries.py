@@ -1082,6 +1082,84 @@ ORDER BY s_suppkey""")
     return "\n".join(parts)
 
 
+def _eigenvector_sql(iterations: int = 18) -> str:
+    """Power iteration with A + I, mirroring EigenvectorProgram exactly:
+    the value SENT each superstep is the UNnormalized next_rank u_k;
+    rank state is r_k = u_k/||u_k||; u_k = r_{k-1} + Σ_in u_{k-1}.
+    After 20 engine supersteps the collected rank is r_18 (the last
+    superstep's normalization is never applied). The vertex space
+    includes gap vids (no supplier) — they hold rank mass and decay
+    through the norm, so the norm must include them."""
+    parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
+             """nv AS MATERIALIZED (
+    SELECT CAST(MAX(s_suppkey) + 1 AS BIGINT) AS n FROM supplier),""",
+             """nodes AS MATERIALIZED (
+    -- range() takes only constants; generate a generous range and
+    -- filter to the data-derived vertex-space size
+    SELECT CAST(range AS BIGINT) AS vid FROM range(0, 1000000)
+    WHERE range < (SELECT n FROM nv)),""",
+             "u0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE)"
+             " / (SELECT n FROM nv) AS u FROM nodes)",
+             """, r0 AS MATERIALIZED (
+    SELECT vid, u / (SELECT SQRT(SUM(u * u)) FROM u0) AS r FROM u0)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+u{k} AS MATERIALIZED (
+    SELECT n.vid, r.r + COALESCE(c.s, 0) AS u
+    FROM nodes n
+    JOIN r{k - 1} r ON r.vid = n.vid
+    LEFT JOIN (
+        SELECT e.dst AS vid, SUM(p.u) AS s
+        FROM co_sym e JOIN u{k - 1} p ON p.vid = e.src
+        GROUP BY e.dst
+    ) c ON c.vid = n.vid
+),
+r{k} AS MATERIALIZED (
+    SELECT vid, u / (SELECT SQRT(SUM(u * u)) FROM u{k}) AS r FROM u{k})""")
+    parts.append(f"""
+SELECT s.s_suppkey, ROUND(r.r, {_ROUND}) AS score
+FROM supplier s JOIN r{iterations} r ON r.vid = s.s_suppkey
+ORDER BY s.s_suppkey""")
+    return "\n".join(parts)
+
+
+def _hits_sql(iterations: int = 15) -> str:
+    """Alternating hub→auth / auth→hub sums (unnormalized — the HITS
+    normalization is linear, applied once at the end like the Ray side)."""
+    parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
+             "nodes AS MATERIALIZED (SELECT s_suppkey AS vid FROM supplier),",
+             "hub0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS h"
+             " FROM nodes)"]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+auth{k} AS MATERIALIZED (
+    SELECT n.vid, COALESCE(c.s, 0) AS a
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS vid, SUM(p.h) AS s
+        FROM co_sym e JOIN hub{k - 1} p ON p.vid = e.src
+        GROUP BY e.dst
+    ) c ON c.vid = n.vid
+),
+hub{k} AS MATERIALIZED (
+    SELECT n.vid, COALESCE(c.s, 0) AS h
+    FROM nodes n LEFT JOIN (
+        SELECT e.src AS vid, SUM(p.a) AS s
+        FROM co_sym e JOIN auth{k} p ON p.vid = e.dst
+        GROUP BY e.src
+    ) c ON c.vid = n.vid
+)""")
+    k = iterations
+    parts.append(f"""
+SELECT n.vid AS s_suppkey,
+       ROUND(a.a / (SELECT SQRT(SUM(a * a)) FROM auth{k}), {_ROUND}) AS auth,
+       ROUND(h.h / (SELECT SQRT(SUM(h * h)) FROM hub{k}), {_ROUND}) AS hub
+FROM nodes n
+JOIN auth{k} a ON a.vid = n.vid
+JOIN hub{k} h ON h.vid = n.vid
+ORDER BY s_suppkey""")
+    return "\n".join(parts)
+
+
 _COMMUNITY_EDGE_SQL = """
 lab AS (SELECT s_suppkey AS v, s_nationkey AS c FROM supplier),
 ce AS (
@@ -1186,6 +1264,8 @@ mutual AS (
 SELECT u AS vid, MIN(w) AS component FROM mutual GROUP BY u ORDER BY vid""",
     "pagerank_weighted": _pagerank_weighted_sql(),
     "pagerank_personalized": _pagerank_personalized_sql(),
+    "eigenvector": _eigenvector_sql(),
+    "hits": _hits_sql(),
     "graph_list": f"""
 WITH {_CO_SUPPLY_SQL.strip()},
 deg AS (
