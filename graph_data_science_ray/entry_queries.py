@@ -228,6 +228,20 @@ def q_wcc_seeded(sf_dir: str):
     })
 
 
+def q_wcc_threshold(sf_dir: str):
+    """WCC over the weighted co-supply graph keeping only edges with
+    weight > 1.5 (≥ 2 shared parts) — the reference's threshold config;
+    exercises the distributed filter_graph re-layout."""
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="wsym")
+    res = wcc(graph, threshold=1.5)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(dtype=np.int64),
+        "component": df["label"].to_numpy(dtype=np.int64),
+    })
+
+
 def q_label_propagation(sf_dir: str):
     """No SQL oracle (iterative vote semantics) — rows-only check."""
     suppkeys, graph = _co_supply_graph(sf_dir)
@@ -1266,6 +1280,16 @@ SELECT u AS vid, MIN(w) AS component FROM mutual GROUP BY u ORDER BY vid""",
     "pagerank_personalized": _pagerank_personalized_sql(),
     "eigenvector": _eigenvector_sql(),
     "hits": _hits_sql(),
+    "wcc_threshold": f"""
+WITH RECURSIVE {_CO_SUPPLY_W_SQL.strip()},
+e2 AS MATERIALIZED (SELECT src, dst FROM co_wsym WHERE w > 1.5),
+reach(v, r) AS (
+    SELECT s_suppkey, s_suppkey FROM supplier
+    UNION
+    SELECT e2.dst, reach.r FROM reach JOIN e2 ON e2.src = reach.v
+)
+SELECT v AS s_suppkey, MIN(r) AS component FROM reach GROUP BY v
+ORDER BY s_suppkey""",
     "graph_list": f"""
 WITH {_CO_SUPPLY_SQL.strip()},
 deg AS (
@@ -1515,6 +1539,7 @@ QUERIES = {
     "pagerank_personalized": q_pagerank_personalized,
     "wcc": q_wcc,
     "wcc_seeded": q_wcc_seeded,
+    "wcc_threshold": q_wcc_threshold,
     "label_propagation": q_label_propagation,
     "triangle_count": q_triangle_count,
     "local_clustering": q_local_clustering,

@@ -69,13 +69,37 @@ def k1_coloring(
     """(vid, color) proper coloring of the undirected simple graph."""
     # orient the constraint: only messages from lower-id to higher-id
     # vertices matter for conflicts — build the low→high oriented graph
-    if graph.kind != "arrays":
-        raise NotImplementedError("k1_coloring currently takes in-memory graphs")
-    u = np.minimum(graph.src, graph.dst)
-    v = np.maximum(graph.src, graph.dst)
-    keep = u != v
-    pairs = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
-    oriented = PartitionedGraph.from_arrays(graph.n, pairs[:, 0], pairs[:, 1])
+    if graph.kind == "arrays":
+        u = np.minimum(graph.src, graph.dst)
+        v = np.maximum(graph.src, graph.dst)
+        keep = u != v
+        pairs = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
+        oriented = PartitionedGraph.from_arrays(graph.n, pairs[:, 0],
+                                                pairs[:, 1])
+    else:
+        # distributed orientation: canonicalize inside map_batches, then
+        # re-lay-out (dedup'd) into a temp partitioned graph dir
+        import tempfile
+
+        import pyarrow as pa
+
+        from ..sources.graph_build import build_int_graph
+
+        def orient(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            u = np.minimum(s, d)
+            v = np.maximum(s, d)
+            keep = u != v
+            return pa.table({"src": u[keep], "dst": v[keep]})
+
+        oriented_ds = graph.edges_dataset(("src", "dst"), flow="out") \
+            .map_batches(orient, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        oriented = build_int_graph(
+            oriented_ds, tempfile.mkdtemp(prefix="gds_k1_oriented_"),
+            graph.n, graph.num_parts_layout,
+            lineage={"source": graph.path, "derivation": "k1_oriented"})
     prog = K1ColoringProgram()
     prog.flow = "out"  # low-id → high-id constraint flow only
     eng = engine or SuperstepEngine(oriented, num_parts=num_parts)

@@ -113,11 +113,11 @@ def wcc(
     """Run WCC; result state has columns (vid, label). threshold keeps
     only edges with weight > threshold (requires a weighted graph)."""
     if threshold is not None:
-        if not graph.weighted or graph.kind != "arrays":
-            raise ValueError("threshold currently requires an in-memory weighted graph")
-        keep = graph.weight > threshold
-        graph = PartitionedGraph.from_arrays(graph.n, graph.src[keep],
-                                             graph.dst[keep], None)
+        if not graph.weighted:
+            raise ValueError("threshold requires a weighted graph")
+        from .subgraph import filter_graph
+        graph = filter_graph(
+            graph, edge_predicate=lambda s, d, w: w > threshold)
         engine = None  # filtered view needs its own block layout
     eng = engine or SuperstepEngine(graph, num_parts=num_parts)
     prog = WCCProgram(seeds=seeds)

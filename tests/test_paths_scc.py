@@ -126,6 +126,41 @@ def test_split_relationships(ray_session):
     assert set(map(tuple, te.to_numpy())) == set(map(tuple, te2.to_numpy()))
 
 
+def test_parquet_graph_coloring_filter_threshold(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.coloring import k1_coloring
+    from graph_data_science_ray.pipelines.subgraph import filter_graph
+    from graph_data_science_ray.pipelines.wcc import wcc
+    from graph_data_science_ray.sources.graph_build import build_int_graph
+    rng = np.random.default_rng(41)
+    n = 50
+    src = rng.integers(0, n, 200).astype(np.int64)
+    dst = rng.integers(0, n, 200).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.integers(1, 4, len(src)).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst, "weight": w}))
+    g = build_int_graph(ds, str(tmp_path / "g"), n, 4, symmetrize=True,
+                        aggregation="sum", weight_col="weight")
+    # k1 coloring on the parquet graph is proper
+    colors = k1_coloring(g).to_pandas().sort_values("vid")["color"].to_numpy()
+    cu, cv = np.minimum(src, dst), np.maximum(src, dst)
+    assert (colors[cu] != colors[cv]).all()
+    # distributed filter drops low-weight edges; WCC threshold agrees
+    # with an arrays-side filter of the same symmetrized/aggregated graph
+    filt = filter_graph(g, edge_predicate=lambda s, d, ww: ww > 2.5,
+                        out_dir=str(tmp_path / "f"))
+    assert filt.kind == "parquet" and filt.num_edges < g.num_edges
+    got = wcc(g, threshold=2.5).to_pandas().sort_values("vid")
+    ef = filt.edges_dataset(("src", "dst")).to_pandas()
+    from graph_data_science_ray.pipelines.wcc import _local_min_labels
+    exp = _local_min_labels(n, np.arange(n, dtype=np.int64),
+                            ef["src"].to_numpy(), ef["dst"].to_numpy())
+    assert (got["label"].to_numpy() == exp).all()
+
+
 def test_celf_influence(ray_session):
     from graph_data_science_ray.pipelines.influence import (
         celf_influence_maximization)
