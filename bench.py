@@ -137,11 +137,57 @@ def run_bench() -> dict:
     return out
 
 
+def scaling_edges_ds(n_vertices: int, avg_degree: float = 13.5,
+                     seed: int = 42):
+    """Deterministic synthetic edge Dataset at superstep-scaling size:
+    pareto-skewed out-degrees (hot senders), uniform targets — generated
+    fully distributed (hash-derived per vertex/edge; no driver arrays,
+    no string materialization). ~n_vertices*avg_degree edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    A = 2.5  # pareto shape (same as sources.generator power_law)
+    scale = avg_degree * (A - 2.0) / (A - 1.0)
+
+    def _u01(x, salt):
+        x = x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + \
+            np.uint64(salt)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+    def gen(t: pa.Table) -> pa.Table:
+        v = t["id"].to_numpy()
+        u = np.maximum(_u01(v, seed), 1e-12)
+        raw = np.power(u, -1.0 / (A - 1.0))  # pareto+1 inverse CDF
+        deg = np.minimum(np.maximum((raw * scale).astype(np.int64), 1),
+                         100000)
+        src = np.repeat(v, deg)
+        starts = np.cumsum(deg) - deg
+        within = np.arange(len(src), dtype=np.int64) - np.repeat(starts, deg)
+        dst = (_u01(src * np.int64(131071) + within, seed + 1)
+               * n_vertices).astype(np.int64)
+        keep = src != dst
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    return rd.range(n_vertices, override_num_blocks=8 * cpus).map_batches(
+        gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def run_scaling_child(num_cpus: int) -> dict:
     """One scaling measurement at a given cpu count, on a SHARED cached
-    repo graph (fixed P=32 layout → byte-identical work at both levels).
-    Also times the CPU-bound edge-derivation phase separately."""
+    graph (fixed P=32 layout → byte-identical work at both levels).
+
+    Superstep scaling runs on a ~100M-edge synthetic power-law graph
+    (compute-bound at 32 cpus — the 18M-edge repo graph hits the
+    ~25 ms/superstep latency floor; see BASELINE.md r1 analysis); the
+    CPU-bound edge-derivation phase is timed separately on the cached
+    repo TABLE (regex extraction + sha256 need real content strings)."""
     n_repos = int(os.environ.get("GRAFT_SCALING_REPOS", "1500000"))
+    n_vertices = int(os.environ.get("GRAFT_SCALING_VERTICES", "8000000"))
     P = 32
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -150,7 +196,7 @@ def run_scaling_child(num_cpus: int) -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     from graph_data_science_ray.sources.repo_source import write_repo_table
-    from graph_data_science_ray.pipelines.graph_pipeline import build_graph_from_repos
+    from graph_data_science_ray.sources.graph_build import build_int_graph
     from graph_data_science_ray.pipelines.pagerank import PageRankProgram
     from graph_data_science_ray.pipelines.wcc import WCCProgram
     from graph_data_science_ray.stages.superstep import (
@@ -162,11 +208,14 @@ def run_scaling_child(num_cpus: int) -> dict:
         log(f"generating scaling repo table n={n_repos} ...")
         write_repo_table(repos_path, n_repos, files_per_repo=3,
                          avg_imports_per_file=8, seed=42)
-    graph_dir = os.path.join(BENCH_DIR, f"scaling_graph_n{n_repos}_P{P}")
+    graph_dir = os.path.join(BENCH_DIR,
+                             f"scaling_graph_synth_v{n_vertices}_P{P}")
     if not os.path.exists(os.path.join(graph_dir, "manifest.json")):
-        log("building scaling graph (one-time, cached) ...")
-        build_graph_from_repos(repos_path, graph_dir, num_parts=P,
-                               verify_digest=False)
+        log("building synthetic scaling graph (one-time, cached) ...")
+        build_int_graph(scaling_edges_ds(n_vertices), graph_dir,
+                        n_vertices, P, dedup=True,
+                        lineage={"source": "scaling_edges_ds",
+                                 "seed": 42})
     graph = PartitionedGraph.from_manifest(graph_dir)
 
     # CPU-bound phase: edge derivation (regex extraction + sha256)
@@ -186,8 +235,12 @@ def run_scaling_child(num_cpus: int) -> dict:
     derive_sec = time.perf_counter() - t0
 
     engine = SuperstepEngine(graph)
+    # warm actors + BOTH flow blocks outside the timed sections (WCC
+    # needs the 'in' blocks; loading them inside the timed run would
+    # charge one-time graph load to per-superstep throughput)
     engine.run(PageRankProgram(tolerance=0.0), max_iterations=3,
-               collect=("rank",))  # warm actors/blocks
+               collect=("rank",))
+    engine.run(WCCProgram(), max_iterations=2, collect=("label",))
     t0 = time.perf_counter()
     pr = engine.run(PageRankProgram(tolerance=0.0), max_iterations=20,
                     collect=("rank",))
@@ -217,10 +270,16 @@ def run_scaling() -> dict:
     results = {}
     for cpus in (8, 32):
         log(f"--- scaling run: {cpus} cpus ---")
+        # ray.init(num_cpus=N) is logical accounting only — the engine's
+        # P=32 fractional-CPU actors would still burn 32 physical cores.
+        # taskset pins the whole child process tree to N cores, which is
+        # the honest N-node vs 4N-node cluster emulation.
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child",
+               str(cpus)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child",
-             str(cpus)],
-            env=dict(os.environ), capture_output=True, text=True)
+            cmd, env=dict(os.environ), capture_output=True, text=True)
         sys.stderr.write(proc.stderr[-2000:])
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)

@@ -773,6 +773,48 @@ def q_yens(sf_dir: str):
     })
 
 
+def q_max_k_cut(sf_dir: str):
+    """Approximate max 3-cut of the weighted co-supply graph
+    (rows-only: local-search heuristic; cut-quality invariants in
+    pytest)."""
+    from .pipelines.maxkcut import approx_max_k_cut
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="wsym")
+    df, _cut = approx_max_k_cut(graph, k=3, seed=42)
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "community": df["community"].to_numpy(np.int64),
+    })
+
+
+def q_k_spanning_tree(sf_dir: str):
+    """k-spanning-tree clusters (k=5) from the Borůvka MST (rows-only;
+    MST weight parity in pytest)."""
+    from .pipelines.spanning_tree import k_spanning_tree
+    suppkeys, graph = _co_supply_graph(sf_dir, variant="wsym")
+    df = k_spanning_tree(graph, k=5)
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "cluster": df["cluster"].to_numpy(np.int64),
+    })
+
+
+def q_node2vec(sf_dir: str):
+    """Node2Vec embeddings over p/q-biased walks (rows-only:
+    SGD-trained; neighborhood-quality asserted in pytest)."""
+    from .pipelines.node2vec import node2vec
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    df = node2vec(graph, dim=16, walk_length=10, walks_per_node=2,
+                  window=3, epochs=2, seed=42)
+    df = df[df["vid"].isin(suppkeys)]
+    emb = np.round(np.stack(df["emb"].to_numpy()), _ROUND)
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "emb": pa.array(emb.tolist(), type=pa.list_(pa.float64())),
+    })
+
+
 def q_split_relationships(sf_dir: str):
     """Train/test edge split with negative sampling (rows-only;
     invariants asserted in pytest)."""
@@ -1568,8 +1610,11 @@ QUERIES = {
     "graph_list": q_graph_list,
     "influence_max": q_influence_max,
     "spanning_tree": q_spanning_tree,
+    "k_spanning_tree": q_k_spanning_tree,
     "yens": q_yens,
     "split_relationships": q_split_relationships,
+    "max_k_cut": q_max_k_cut,
+    "node2vec": q_node2vec,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
     "collapse_path": q_collapse_path,

@@ -51,7 +51,9 @@ def _dijkstra_csr(indptr, indices, weights, source: int, target: int,
                   banned_edges: set | None = None,
                   banned_nodes: np.ndarray | None = None):
     """Binary-heap Dijkstra / A* over the CSR; returns (cost, path) or
-    (inf, []). Deterministic tie-break: smaller vid pops first."""
+    (inf, []). Deterministic tie-break: smaller vid pops first. The
+    per-settle relaxation is vectorized over the vertex's whole
+    adjacency slice — only improved entries touch the Python heap."""
     n = len(indptr) - 1
     dist = np.full(n, np.inf)
     pred = np.full(n, -1, dtype=np.int64)
@@ -59,6 +61,13 @@ def _dijkstra_csr(indptr, indices, weights, source: int, target: int,
     h0 = 0.0 if heuristic is None else heuristic[source]
     heap = [(h0, source)]
     done = np.zeros(n, dtype=bool)
+    # banned edges grouped by source for vectorized masking
+    banned_by_src: dict[int, np.ndarray] = {}
+    if banned_edges:
+        for (a, b) in banned_edges:
+            banned_by_src.setdefault(a, []).append(b)
+        banned_by_src = {a: np.asarray(bs, dtype=np.int64)
+                         for a, bs in banned_by_src.items()}
     while heap:
         _, v = heapq.heappop(heap)
         if done[v]:
@@ -66,20 +75,34 @@ def _dijkstra_csr(indptr, indices, weights, source: int, target: int,
         if v == target:
             break
         done[v] = True
-        for ei in range(indptr[v], indptr[v + 1]):
-            u = indices[ei]
-            if banned_nodes is not None and banned_nodes[u]:
-                continue
-            if banned_edges is not None and (v, int(u)) in banned_edges:
-                continue
-            nd = dist[v] + weights[ei]
-            if nd < dist[u]:
-                dist[u] = nd
-                pred[u] = v
-                f = nd if heuristic is None else nd + heuristic[u]
-                heapq.heappush(heap, (f, int(u)))
-            elif nd == dist[u] and v < pred[u]:
-                pred[u] = v  # deterministic min-predecessor tie-break
+        lo, hi = indptr[v], indptr[v + 1]
+        nb = indices[lo:hi]
+        nd = dist[v] + weights[lo:hi]
+        if len(nb) > 1:
+            # parallel edges: keep the cheapest per neighbor (slice is
+            # dst-sorted, duplicates adjacent)
+            runs = np.flatnonzero(np.r_[True, nb[1:] != nb[:-1]])
+            if len(runs) != len(nb):
+                nb = nb[runs]
+                nd = np.minimum.reduceat(nd, runs)
+        ok = ~done[nb]
+        if banned_nodes is not None:
+            ok &= ~banned_nodes[nb]
+        if v in banned_by_src:
+            ok &= ~np.isin(nb, banned_by_src[v])
+        # min-predecessor tie-break: equal-cost relaxations keep the
+        # smaller v, and v increases monotonically per settle order only
+        # within equal dist — handle ties explicitly
+        tie = ok & (nd == dist[nb]) & (v < pred[nb])
+        pred[nb[tie]] = v
+        upd = ok & (nd < dist[nb])
+        if upd.any():
+            un, und = nb[upd], nd[upd]
+            dist[un] = und
+            pred[un] = v
+            fs = und if heuristic is None else und + heuristic[un]
+            for f, u in zip(fs.tolist(), un.tolist()):
+                heapq.heappush(heap, (f, u))
     if not np.isfinite(dist[target]):
         return np.inf, []
     path = [int(target)]

@@ -124,6 +124,28 @@ def spanning_tree(graph: PartitionedGraph,
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def k_spanning_tree(graph: PartitionedGraph, k: int,
+                    max_rounds: int = 64) -> pd.DataFrame:
+    """(vid, cluster) — gds.alpha.kSpanningTree: cut the MST into k
+    clusters by removing its k-1 heaviest edges (min variant); cluster
+    id = min vid in each resulting component."""
+    mst = spanning_tree(graph, max_rounds=max_rounds)
+    if len(mst):
+        # drop the k-1 heaviest MST edges (deterministic tie-break)
+        drop = mst.sort_values(["weight", "src", "dst"],
+                               ascending=[False, True, True]).head(
+            max(0, k - 1))
+        keep = mst.drop(drop.index)
+    else:
+        keep = mst
+    from .wcc import _local_min_labels
+    labels = _local_min_labels(
+        graph.n, np.arange(graph.n, dtype=np.int64),
+        keep["src"].to_numpy(np.int64), keep["dst"].to_numpy(np.int64))
+    return pd.DataFrame({"vid": np.arange(graph.n, dtype=np.int64),
+                         "cluster": labels})
+
+
 def prim_reference(n: int, src: np.ndarray, dst: np.ndarray,
                    w: np.ndarray) -> float:
     """Total MST/forest weight oracle (Prim per component)."""

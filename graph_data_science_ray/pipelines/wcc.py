@@ -61,6 +61,9 @@ def _local_min_labels(n_local: int, gids: np.ndarray,
     return nodes[parent[own]]
 
 
+_PREUNION_MAX_EDGES = 1 << 21  # ~2M local edges
+
+
 class WCCProgram(VertexProgram):
     reducer = MIN
     flow = "both"
@@ -77,7 +80,16 @@ class WCCProgram(VertexProgram):
             label = np.asarray(self.seeds, dtype=np.int64)[gids]
         elif self.local_preunion:
             u, v = ctx.local_edges_global()
-            label = _local_min_labels(ctx.n_local, gids, u, v)
+            # the pre-union saves supersteps on SMALL partitions, but its
+            # repeated sort/compress passes go memory-bandwidth-bound on
+            # multi-million-edge blocks (measured: 170 s of setup on a
+            # 103M-edge graph whose actual propagation converges in 4
+            # supersteps / 10 s) — plain min-propagation wins past ~2M
+            # local edges
+            if len(u) <= _PREUNION_MAX_EDGES:
+                label = _local_min_labels(ctx.n_local, gids, u, v)
+            else:
+                label = gids.copy()
         else:
             label = gids.copy()
         return {"label": label}

@@ -1,0 +1,76 @@
+"""MaxKCut, k-spanning-tree clusters, and Node2Vec embeddings."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray.stages.superstep import PartitionedGraph
+
+
+@pytest.fixture(scope="module")
+def two_cliques(ray_session):
+    """Two 6-cliques joined by a single bridge edge (undirected sym)."""
+    n = 12
+    edges = []
+    for base in (0, 6):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    edges.append((0, 6))
+    e = np.array(edges, dtype=np.int64)
+    s = np.concatenate([e[:, 0], e[:, 1]])
+    d = np.concatenate([e[:, 1], e[:, 0]])
+    return n, s, d
+
+
+def test_max_k_cut_bipartite(ray_session):
+    """On a complete bipartite graph the optimal 2-cut is the
+    bipartition — local search must find it exactly."""
+    from graph_data_science_ray.pipelines.maxkcut import approx_max_k_cut
+    left = np.repeat(np.arange(4, dtype=np.int64), 4)
+    right = np.tile(np.arange(4, 8, dtype=np.int64), 4)
+    s = np.concatenate([left, right])
+    d = np.concatenate([right, left])
+    g = PartitionedGraph.from_arrays(8, s, d)
+    df, cut = approx_max_k_cut(g, k=2, seed=1)
+    lab = df.sort_values("vid")["community"].to_numpy()
+    assert len(set(lab[:4])) == 1 and len(set(lab[4:])) == 1
+    assert lab[0] != lab[4]
+    assert cut == 32.0  # every one of the 16 undirected edges ×2 dirs cut
+
+
+def test_k_spanning_tree_clusters(ray_session):
+    from graph_data_science_ray.pipelines.spanning_tree import (
+        k_spanning_tree)
+    # chain 0-1-2-3-4-5 with one heavy middle edge → k=2 splits there
+    s = np.array([0, 1, 2, 3, 4], dtype=np.int64)
+    d = np.array([1, 2, 3, 4, 5], dtype=np.int64)
+    w = np.array([1.0, 1.0, 9.0, 1.0, 1.0])
+    g = PartitionedGraph.from_arrays(6, s, d, w)
+    out = k_spanning_tree(g, k=2)
+    c = out.sort_values("vid")["cluster"].to_numpy()
+    assert c.tolist() == [0, 0, 0, 3, 3, 3]
+
+
+def test_node2vec_clique_structure(two_cliques):
+    """Intra-clique similarity must exceed cross-clique similarity."""
+    from graph_data_science_ray.pipelines.node2vec import node2vec
+    n, s, d = two_cliques
+    g = PartitionedGraph.from_arrays(n, s, d)
+    df = node2vec(g, dim=16, walk_length=15, walks_per_node=8, window=4,
+                  epochs=4, seed=3)
+    emb = np.stack(df.sort_values("vid")["emb"].to_numpy())
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                           1e-12)
+    sims = emb @ emb.T
+    intra = (np.mean([sims[i, j] for i in range(6) for j in range(6)
+                      if i != j])
+             + np.mean([sims[i, j] for i in range(6, 12)
+                        for j in range(6, 12) if i != j])) / 2
+    cross = np.mean(sims[:6, 6:])
+    assert intra > cross, (intra, cross)
+    # deterministic
+    df2 = node2vec(g, dim=16, walk_length=15, walks_per_node=8, window=4,
+                   epochs=4, seed=3)
+    emb2 = np.stack(df2.sort_values("vid")["emb"].to_numpy())
+    assert np.allclose(np.stack(df.sort_values("vid")["emb"].to_numpy()),
+                       emb2)
