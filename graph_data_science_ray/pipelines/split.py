@@ -103,14 +103,34 @@ def split_relationships(
             pos = np.minimum(np.searchsorted(ks, probe), len(ks) - 1)
             ok &= ks[pos] != probe
         return pa.table({"src": lo[ok], "dst": hi[ok],
-                         "label": np.zeros(int(ok.sum()), dtype=np.int64)})
+                         "slot": idx[ok]})
 
-    # oversample slots (rejection loses ~E/(n²/2) + duplicates), then
-    # distinct + limit to the target count
+    # oversample slots (rejection loses ~E/(n²/2) + duplicates), dedup
+    # keeping each pair's SMALLEST slot, then take the n_neg smallest
+    # slots — a deterministic selection (a bare .limit() after the
+    # shuffle picks whatever blocks finish first)
     slots = rd.range(int(n_neg * 1.5) + 64).map_batches(
         lambda t: pa.table({"slot": t["id"]}), batch_format="pyarrow")
-    from ..stages.shuffle import distinct_rows
-    negatives = distinct_rows(
-        slots.map_batches(gen_negatives, batch_format="pyarrow"),
-        ["src", "dst", "label"]).limit(n_neg)
+    raw = slots.map_batches(gen_negatives, batch_format="pyarrow")
+
+    from ..stages.shuffle import _bucket_hash
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_hash(df, ["src", "dst"], 32)
+        return df
+
+    def min_slot(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby(["src", "dst"], sort=False)["slot"]
+                .min().reset_index())
+
+    def to_labeled(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "label": np.zeros(len(t), dtype=np.int64)})
+
+    negatives = (raw.map_batches(add_bucket, batch_format="pandas")
+                 .groupby("__bucket")
+                 .map_groups(min_slot, batch_format="pandas")
+                 .sort("slot").limit(n_neg)
+                 .map_batches(to_labeled, batch_format="pyarrow"))
     return train, positives.union(negatives)
