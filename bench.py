@@ -26,9 +26,14 @@ BENCH_DIR = "/tmp/graft_bench"
 SKIP_QUERIES = {"triangle_count", "local_clustering", "co_supply_edges",
                 "node_similarity", "louvain",  # superlinear on the
                 "label_propagation",  # near-complete sf0.1 co-supply graph
-                "influence_max"}  # CELF round-1 sweep is O(V · cascade)
+                "influence_max",  # CELF round-1 sweep is O(V · cascade)
                                   # — minutes on the dense sf0.1 graph;
                                   # value-checked at sf0.01 instead
+                "max_k_cut",      # wave-scheduled sweeps don't converge
+                                  # fast on the dense sf0.1 graph (206 s)
+                "link_prediction",  # full pipeline (split+FastRP+GD
+                                    # epochs); exercised at sf0.01
+                "all_pairs"}      # O(V²) output on the sf0.1 graph
 
 
 def log(msg: str) -> None:

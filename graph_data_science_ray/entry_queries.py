@@ -468,6 +468,20 @@ def q_bfs_hops(sf_dir: str):
     })
 
 
+def q_all_pairs(sf_dir: str):
+    """Streamed all-pairs hop distances (MS-BFS 62-source waves with
+    per-bit distance recording) over the co-supply graph."""
+    from .pipelines.traversal import all_pairs_distances
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    df = all_pairs_distances(graph, sources=suppkeys, flow="out")
+    df = df[df["target"].isin(suppkeys)]
+    return pa.table({
+        "source": df["source"].to_numpy(np.int64),
+        "target": df["target"].to_numpy(np.int64),
+        "dist": df["dist"].to_numpy(np.int64),
+    })
+
+
 def q_closeness(sf_dir: str):
     """Closeness + harmonic centrality on the co-supply graph."""
     from .pipelines.traversal import closeness_harmonic
@@ -827,6 +841,48 @@ def q_split_relationships(sf_dir: str):
         "src": out["src"].to_numpy(np.int64),
         "dst": out["dst"].to_numpy(np.int64),
         "label": out["label"].to_numpy(np.int64),
+    })
+
+
+def q_link_prediction(sf_dir: str):
+    """End-to-end link-prediction pipeline (split → FastRP on the train
+    graph → Hadamard features → logistic regression → held-out AUC) on
+    the customer–nation bipartite graph (rows-only; AUC quality gate in
+    pytest)."""
+    import tempfile
+
+    from .pipelines.link_prediction import train_link_prediction
+    from .sources.graph_build import build_int_graph
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": ck, "dst": nk + _CUST_VID_OFFSET})
+
+    edges = cust.map_batches(to_edges, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cpath = os.path.join(sf_dir, "customer.parquet")
+    mtime = int(os.stat(cpath).st_mtime) if os.path.exists(cpath) else 0
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{mtime}:custnat".encode()).hexdigest()[:12]
+    gdir = os.path.join(tempfile.gettempdir(), "gds_query_graphs", tag)
+    from .stages.superstep import PartitionedGraph as PG
+    if os.path.exists(os.path.join(gdir, "manifest.json")):
+        g = PG.from_manifest(gdir)
+    else:
+        cust_max = int(_read(sf_dir, "customer", ["c_custkey"])
+                       .max(on="c_custkey"))
+        n = max(cust_max + 1, _CUST_VID_OFFSET + 30)
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        g = build_int_graph(edges, gdir, n, max(4, min(16, cpus)),
+                            lineage={"source": sf_dir,
+                                     "derivation": "customer_nation"})
+    model = train_link_prediction(g, dim=16, epochs=30, seed=42)
+    return pa.table({
+        "feature": [model["feature"]],
+        "dim": [np.int64(model["dim"])],
+        "test_auc": [np.round(model["test_auc"], _ROUND)],
     })
 
 
@@ -1445,6 +1501,17 @@ dist AS (SELECT v, MIN(d) AS d FROM reach GROUP BY v)
 SELECT s.s_suppkey, CAST(COALESCE(dist.d, -1) AS BIGINT) AS dist
 FROM supplier s LEFT JOIN dist ON dist.v = s.s_suppkey
 ORDER BY s.s_suppkey""",
+    "all_pairs": f"""
+WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
+reach(s, v, d) AS (
+    SELECT s_suppkey, s_suppkey, 0 FROM supplier
+    UNION
+    SELECT reach.s, e.dst, reach.d + 1
+    FROM reach JOIN co_sym e ON e.src = reach.v
+    WHERE reach.d < (SELECT COUNT(*) FROM supplier)
+)
+SELECT s AS source, v AS target, CAST(MIN(d) AS BIGINT) AS dist
+FROM reach GROUP BY s, v ORDER BY source, target""",
     "closeness": f"""
 WITH RECURSIVE {_CO_SUPPLY_SQL.strip()},
 reach(s, v, d) AS (
@@ -1615,11 +1682,13 @@ QUERIES = {
     "split_relationships": q_split_relationships,
     "max_k_cut": q_max_k_cut,
     "node2vec": q_node2vec,
+    "link_prediction": q_link_prediction,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
     "collapse_path": q_collapse_path,
     "node_similarity": q_node_similarity,
     "bfs_hops": q_bfs_hops,
+    "all_pairs": q_all_pairs,
     "closeness": q_closeness,
     "articlerank": q_articlerank,
     "eigenvector": q_eigenvector,

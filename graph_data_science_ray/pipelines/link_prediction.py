@@ -1,0 +1,217 @@
+"""Link-prediction pipeline + model catalog — parity with
+gds.beta.pipeline.linkPrediction (pipeline/src/main/java/org/neo4j/gds/
+ml/pipeline/linkPipeline/: node-property steps → link feature steps
+(HADAMARD / COSINE / L2) → split → logistic-regression training →
+predict) and the model catalog (model-catalog-api/).
+
+Ray-Data shape: FastRP supplies node embeddings (engine vector
+messages); the edge split is pipelines.split.split_relationships;
+link features are vectorized map_batches over (src, dst) pairs against
+the broadcast embedding matrix; logistic-regression training is
+synchronous data-parallel gradient descent — per-batch gradient
+partials (d+1 floats each) summed on the driver each epoch. Models
+persist as JSON + npz under a catalog dir (name → coefficients,
+feature config, training metrics)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..stages.superstep import PartitionedGraph
+
+
+def link_features(pairs: rd.Dataset, emb: np.ndarray,
+                  feature: str = "hadamard") -> rd.Dataset:
+    """(src, dst, label?) pairs + node embedding matrix → feature rows
+    (FixedSizeList column `f`, passthrough label). HADAMARD, COSINE
+    (1-dim) and L2 mirror the reference's LinkFeatureSteps."""
+    emb_ref = ray.put(emb)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        E = ray.get(emb_ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        a, b = E[src], E[dst]
+        if feature == "hadamard":
+            f = a * b
+        elif feature == "l2":
+            f = (a - b) ** 2
+        else:  # cosine: single-dim feature
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b, axis=1)
+            denom = np.maximum(na * nb, 1e-12)
+            f = ((a * b).sum(axis=1) / denom)[:, None]
+        cols = {"src": t["src"], "dst": t["dst"],
+                "f": pa.FixedSizeListArray.from_arrays(
+                    pa.array(f.reshape(-1)), f.shape[1])}
+        if "label" in t.column_names:
+            cols["label"] = t["label"]
+        return pa.table(cols)
+
+    return pairs.map_batches(kernel, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _feature_matrix(t: pa.Table) -> np.ndarray:
+    col = t["f"]
+    if hasattr(col, "combine_chunks"):
+        col = col.combine_chunks()
+    d = col.type.list_size
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+
+
+def train_logistic_regression(
+    features: rd.Dataset,
+    epochs: int = 50,
+    learning_rate: float = 0.5,
+    l2_penalty: float = 1e-4,
+) -> np.ndarray:
+    """Binary logistic regression via synchronous distributed gradient
+    descent; returns weights [d+1] (bias last)."""
+    first = features.take(1)
+    d = len(first[0]["f"])
+    w = np.zeros(d + 1)
+    n_total = features.count()
+    feats = features.materialize()
+    for _ in range(epochs):
+        wref = ray.put(w)
+
+        def grad(t: pa.Table) -> pa.Table:
+            wl = ray.get(wref)
+            X = _feature_matrix(t)
+            y = t["label"].to_numpy(zero_copy_only=False).astype(np.float64)
+            z = X @ wl[:-1] + wl[-1]
+            p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+            err = p - y
+            g = np.concatenate([X.T @ err, [err.sum()]])
+            return pa.table({"g": pa.FixedSizeListArray.from_arrays(
+                pa.array(g), len(g))})
+
+        parts = feats.map_batches(grad, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+        gsum = np.sum(np.stack([np.asarray(v) for v in parts["g"]]), axis=0)
+        gsum[:-1] += l2_penalty * w[:-1] * n_total
+        w = w - learning_rate * gsum / max(1, n_total)
+    return w
+
+
+def predict_scores(features: rd.Dataset, w: np.ndarray) -> rd.Dataset:
+    wref = ray.put(w)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        wl = ray.get(wref)
+        X = _feature_matrix(t)
+        z = X @ wl[:-1] + wl[-1]
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        cols = {"src": t["src"], "dst": t["dst"],
+                "score": pa.array(p)}
+        if "label" in t.column_names:
+            cols["label"] = t["label"]
+        return pa.table(cols)
+
+    return features.map_batches(kernel, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def auc_score(scored: pd.DataFrame) -> float:
+    """ROC-AUC via the rank statistic (exact, ties averaged)."""
+    y = scored["label"].to_numpy()
+    s = scored["score"].to_numpy()
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(len(s))
+    ranks[order] = np.arange(1, len(s) + 1)
+    # average ranks over ties
+    df = pd.DataFrame({"s": s, "r": ranks})
+    ranks = df.groupby("s")["r"].transform("mean").to_numpy()
+    n_pos = int(y.sum())
+    n_neg = len(y) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    return float((ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2)
+                 / (n_pos * n_neg))
+
+
+def train_link_prediction(
+    graph: PartitionedGraph,
+    dim: int = 32,
+    feature: str = "hadamard",
+    holdout_fraction: float = 0.3,
+    epochs: int = 50,
+    seed: int = 42,
+) -> dict:
+    """End-to-end LP pipeline: split → FastRP on the TRAIN graph (no
+    test leakage) → link features → logistic regression → test AUC.
+    Returns {weights, test_auc, feature, dim}."""
+    import tempfile
+
+    from ..sources.graph_build import build_int_graph
+    from .fastrp import fastrp
+    from .split import split_relationships
+    train_edges, test_pairs = split_relationships(
+        graph, holdout_fraction=holdout_fraction, seed=seed)
+    # train graph: re-layout the kept edges (symmetrized for FastRP)
+    tdir = tempfile.mkdtemp(prefix="gds_lp_train_graph_")
+    tg = build_int_graph(train_edges, tdir, graph.n,
+                         graph.num_parts_layout or 8, symmetrize=True)
+    emb_df = fastrp(tg, dim=dim, iteration_weights=[0.0, 1.0, 1.0],
+                    seed=seed)
+    emb = np.zeros((graph.n, dim))
+    emb[emb_df["vid"].to_numpy()] = np.stack(emb_df["emb"].to_numpy())
+
+    # train positives (kept edges) + matching negatives come from a
+    # second split pass over the TRAIN graph
+    _, train_pairs = split_relationships(tg, holdout_fraction=0.5,
+                                         seed=seed + 1)
+    feats_train = link_features(train_pairs, emb, feature)
+    w = train_logistic_regression(feats_train, epochs=epochs)
+    scored = predict_scores(link_features(test_pairs, emb, feature),
+                            w).to_pandas()
+    return {"weights": w, "test_auc": auc_score(scored),
+            "feature": feature, "dim": dim}
+
+
+class ModelCatalog:
+    """gds.beta.model.* analogue: named persisted models."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def store(self, name: str, model: dict) -> None:
+        d = os.path.join(self.root, name)
+        os.makedirs(d, exist_ok=True)
+        np.savez(os.path.join(d, "weights.npz"),
+                 weights=model["weights"])
+        meta = {k: v for k, v in model.items() if k != "weights"}
+        with open(os.path.join(d, "model.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def load(self, name: str) -> dict:
+        d = os.path.join(self.root, name)
+        with open(os.path.join(d, "model.json")) as f:
+            meta = json.load(f)
+        meta["weights"] = np.load(
+            os.path.join(d, "weights.npz"))["weights"]
+        return meta
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.root, name, "model.json"))
+
+    def list(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.root)
+            if os.path.exists(os.path.join(self.root, n, "model.json")))
+
+    def drop(self, name: str) -> bool:
+        import shutil
+        if not self.exists(name):
+            return False
+        shutil.rmtree(os.path.join(self.root, name))
+        return True

@@ -284,6 +284,80 @@ class MSBFSProgram(VertexProgram):
                           halt_mask=active.copy())
 
 
+class MSBFSDistProgram(MSBFSProgram):
+    """MS-BFS that RECORDS per-(vertex, source-bit) hop distances — the
+    streamed all-pairs form (alpha/.../msbfs/MSBFSAllShortestPaths.java).
+    State adds a [n_local, wave_width] int64 distance matrix (-1 =
+    unreached), filled vectorized from each superstep's newly-set bits."""
+
+    state_keys = ("dist2d",)
+
+    def init_state(self, ctx):
+        state = super().init_state(ctx)
+        w = len(self.wave_sources)
+        dist = np.full((ctx.n_local, w), -1, dtype=np.int64)
+        rows = np.flatnonzero(state["visited"])
+        if len(rows):
+            bits = ((state["visited"][rows, None]
+                     >> np.arange(w, dtype=np.int64)) & 1).astype(bool)
+            r, b = np.nonzero(bits)
+            dist[rows[r], b] = 0
+        state["dist2d"] = dist
+        return state
+
+    def compute(self, ctx, state, msgs, has_msg, active, iteration):
+        before = state["visited"].copy()
+        out = super().compute(ctx, state, msgs, has_msg, active, iteration)
+        if iteration > 0:
+            new = state["visited"] & ~before
+            rows = np.flatnonzero(new)
+            if len(rows):
+                w = len(self.wave_sources)
+                bits = ((new[rows, None]
+                         >> np.arange(w, dtype=np.int64)) & 1).astype(bool)
+                r, b = np.nonzero(bits)
+                state["dist2d"][rows[r], b] = iteration
+        return out
+
+
+def all_pairs_distances(
+    graph: PartitionedGraph,
+    sources: np.ndarray | None = None,
+    flow: str = "both",
+    num_parts: int | None = None,
+    engine: SuperstepEngine | None = None,
+) -> pd.DataFrame:
+    """(source, target, dist) rows for every reached pair (self included
+    at dist 0) — MS-BFS in 62-source waves, distances collected from the
+    per-bit matrix state."""
+    eng = engine or SuperstepEngine(graph, num_parts=num_parts)
+    n = graph.n
+    if sources is None:
+        sources = np.arange(n, dtype=np.int64)
+    sources = np.asarray(sources, dtype=np.int64)
+    frames = []
+    try:
+        for lo in range(0, len(sources), 62):
+            wave = sources[lo: lo + 62]
+            res = eng.run(MSBFSDistProgram(wave, flow=flow),
+                          max_iterations=n + 1, collect=("dist2d",))
+            df = res.to_pandas()
+            vids = df["vid"].to_numpy()
+            dist = np.stack(df["dist2d"].to_numpy())  # [n, w]
+            r, b = np.nonzero(dist >= 0)
+            frames.append(pd.DataFrame({
+                "source": wave[b],
+                "target": vids[r],
+                "dist": dist[r, b],
+            }))
+    finally:
+        if engine is None:
+            eng.shutdown()
+    out = (pd.concat(frames, ignore_index=True) if frames
+           else pd.DataFrame({"source": [], "target": [], "dist": []}))
+    return out.sort_values(["source", "target"]).reset_index(drop=True)
+
+
 def closeness_harmonic(
     graph: PartitionedGraph,
     flow: str = "both",

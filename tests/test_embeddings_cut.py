@@ -51,6 +51,31 @@ def test_k_spanning_tree_clusters(ray_session):
     assert c.tolist() == [0, 0, 0, 3, 3, 3]
 
 
+def test_link_prediction_pipeline(ray_session, tmp_path):
+    """Held-out clique edges must score above random non-edges."""
+    from graph_data_science_ray.pipelines.link_prediction import (
+        ModelCatalog, train_link_prediction)
+    rng = np.random.default_rng(13)
+    # three 10-cliques → strong community structure
+    n = 30
+    edges = []
+    for base in (0, 10, 20):
+        for i in range(10):
+            for j in range(i + 1, 10):
+                edges.append((base + i, base + j))
+    e = np.array(edges, dtype=np.int64)
+    g = PartitionedGraph.from_arrays(n, e[:, 0], e[:, 1])
+    model = train_link_prediction(g, dim=16, epochs=40, seed=5)
+    assert model["test_auc"] > 0.7, model["test_auc"]
+    cat = ModelCatalog(str(tmp_path / "models"))
+    cat.store("lp", model)
+    assert cat.exists("lp") and cat.list() == ["lp"]
+    loaded = cat.load("lp")
+    assert np.allclose(loaded["weights"], model["weights"])
+    assert loaded["test_auc"] == pytest.approx(model["test_auc"])
+    assert cat.drop("lp") and not cat.exists("lp")
+
+
 def test_node2vec_clique_structure(two_cliques):
     """Intra-clique similarity must exceed cross-clique similarity."""
     from graph_data_science_ray.pipelines.node2vec import node2vec

@@ -126,6 +126,29 @@ def test_split_relationships(ray_session):
     assert set(map(tuple, te.to_numpy())) == set(map(tuple, te2.to_numpy()))
 
 
+def test_all_pairs_distances(ray_session):
+    from graph_data_science_ray.pipelines.traversal import (
+        all_pairs_distances)
+    # chain 0-1-2-3 (undirected) + isolated 4
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    g = PartitionedGraph.from_arrays(5, src, dst)
+    df = all_pairs_distances(g, flow="both", num_parts=2)
+    got = {(int(r.source), int(r.target)): int(r.dist)
+           for r in df.itertuples()}
+    assert got[(0, 3)] == 3 and got[(3, 0)] == 3
+    assert got[(1, 2)] == 1 and got[(2, 2)] == 0
+    assert (4, 0) not in got and got[(4, 4)] == 0
+    # 70 sources forces two MS-BFS waves
+    g2 = PartitionedGraph.from_arrays(
+        70, np.arange(69, dtype=np.int64),
+        np.arange(1, 70, dtype=np.int64))
+    d2 = all_pairs_distances(g2, flow="both", num_parts=2)
+    m = {(int(r.source), int(r.target)): int(r.dist)
+         for r in d2.itertuples()}
+    assert m[(0, 69)] == 69 and m[(65, 2)] == 63
+
+
 def test_parquet_graph_coloring_filter_threshold(ray_session, tmp_path):
     import pyarrow as pa
     import ray.data as rd
