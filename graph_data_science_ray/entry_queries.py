@@ -844,15 +844,21 @@ def q_split_relationships(sf_dir: str):
     })
 
 
-def q_link_prediction(sf_dir: str):
-    """End-to-end link-prediction pipeline (split → FastRP on the train
-    graph → Hadamard features → logistic regression → held-out AUC) on
-    the customer–nation bipartite graph (rows-only; AUC quality gate in
-    pytest)."""
+def _customer_nation_graph(sf_dir: str):
+    """Bipartite customer–nation graph, symmetrized (FastRP's
+    mean-propagation needs undirected edges); cached parquet layout."""
     import tempfile
 
-    from .pipelines.link_prediction import train_link_prediction
     from .sources.graph_build import build_int_graph
+    from .stages.superstep import PartitionedGraph as PG
+    cpath = os.path.join(sf_dir, "customer.parquet")
+    mtime = int(os.stat(cpath).st_mtime) if os.path.exists(cpath) else 0
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{mtime}:custnatsym".encode()
+    ).hexdigest()[:12]
+    gdir = os.path.join(tempfile.gettempdir(), "gds_query_graphs", tag)
+    if os.path.exists(os.path.join(gdir, "manifest.json")):
+        return PG.from_manifest(gdir)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -862,22 +868,45 @@ def q_link_prediction(sf_dir: str):
 
     edges = cust.map_batches(to_edges, batch_format="pyarrow",
                              zero_copy_batch=True)
-    cpath = os.path.join(sf_dir, "customer.parquet")
-    mtime = int(os.stat(cpath).st_mtime) if os.path.exists(cpath) else 0
-    tag = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}:{mtime}:custnat".encode()).hexdigest()[:12]
-    gdir = os.path.join(tempfile.gettempdir(), "gds_query_graphs", tag)
-    from .stages.superstep import PartitionedGraph as PG
-    if os.path.exists(os.path.join(gdir, "manifest.json")):
-        g = PG.from_manifest(gdir)
-    else:
-        cust_max = int(_read(sf_dir, "customer", ["c_custkey"])
-                       .max(on="c_custkey"))
-        n = max(cust_max + 1, _CUST_VID_OFFSET + 30)
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        g = build_int_graph(edges, gdir, n, max(4, min(16, cpus)),
-                            lineage={"source": sf_dir,
-                                     "derivation": "customer_nation"})
+    cust_max = int(_read(sf_dir, "customer", ["c_custkey"])
+                   .max(on="c_custkey"))
+    n = max(cust_max + 1, _CUST_VID_OFFSET + 30)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return build_int_graph(edges, gdir, n, max(4, min(16, cpus)),
+                           symmetrize=True,
+                           lineage={"source": sf_dir,
+                                    "derivation": "customer_nation"})
+
+
+def q_node_classification(sf_dir: str):
+    """Node-classification pipeline: predict each customer's nation
+    from FastRP embeddings of the customer–nation bipartite graph
+    (rows-only; ≥0.8 accuracy gate on clique fixtures in pytest)."""
+    from .pipelines.node_classification import train_node_classification
+    g = _customer_nation_graph(sf_dir)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    labels = np.zeros(g.n, dtype=np.int64)
+    labels[ck] = cust["c_nationkey"].to_numpy(np.int64)
+    mask = np.zeros(g.n, dtype=bool)
+    mask[ck] = True
+    model = train_node_classification(g, labels, label_mask=mask,
+                                      dim=16, epochs=40, seed=42)
+    return pa.table({
+        "n_classes": [np.int64(len(model["classes"]))],
+        "dim": [np.int64(model["dim"])],
+        "test_accuracy": [np.round(model["test_accuracy"], _ROUND)],
+    })
+
+
+def q_link_prediction(sf_dir: str):
+    """End-to-end link-prediction pipeline (split → FastRP on the train
+    graph → Hadamard features → logistic regression → held-out AUC) on
+    the customer–nation bipartite graph (rows-only; AUC quality gate in
+    pytest)."""
+    from .pipelines.link_prediction import train_link_prediction
+    g = _customer_nation_graph(sf_dir)
     model = train_link_prediction(g, dim=16, epochs=30, seed=42)
     return pa.table({
         "feature": [model["feature"]],
@@ -1683,6 +1712,7 @@ QUERIES = {
     "max_k_cut": q_max_k_cut,
     "node2vec": q_node2vec,
     "link_prediction": q_link_prediction,
+    "node_classification": q_node_classification,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
     "collapse_path": q_collapse_path,

@@ -76,6 +76,27 @@ def test_link_prediction_pipeline(ray_session, tmp_path):
     assert cat.drop("lp") and not cat.exists("lp")
 
 
+def test_node_classification_pipeline(ray_session):
+    """Clique membership must be learnable from FastRP features."""
+    from graph_data_science_ray.pipelines.node_classification import (
+        train_node_classification)
+    n = 30
+    edges = []
+    for base in (0, 10, 20):
+        for i in range(10):
+            for j in range(i + 1, 10):
+                edges.append((base + i, base + j))
+    e = np.array(edges, dtype=np.int64)
+    s = np.concatenate([e[:, 0], e[:, 1]])
+    d = np.concatenate([e[:, 1], e[:, 0]])
+    g = PartitionedGraph.from_arrays(n, s, d)
+    labels = np.repeat(np.array([7, 3, 5], dtype=np.int64), 10)
+    model = train_node_classification(g, labels, dim=16, epochs=60,
+                                      seed=2)
+    assert model["test_accuracy"] >= 0.8, model["test_accuracy"]
+    assert sorted(model["classes"]) == [3, 5, 7]
+
+
 def test_node2vec_clique_structure(two_cliques):
     """Intra-clique similarity must exceed cross-clique similarity."""
     from graph_data_science_ray.pipelines.node2vec import node2vec
