@@ -56,6 +56,158 @@ def assign_vertex_ids(edges_ds: rd.Dataset, extra_names_ds: rd.Dataset | None = 
     return np.array(sorted(names), dtype=object)
 
 
+def assign_vertex_ids_distributed(
+    edges_ds: rd.Dataset,
+    extra_names_ds: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """(repo, vid) mapping Dataset with vid = rank by sorted name — the
+    same IdMap contract as ``assign_vertex_ids`` but with NO driver name
+    array: distinct names via the hash-bucketed dedup, a distributed
+    sort, then per-block cumulative offsets (one small int per block on
+    the driver) assigned inside map-over-blocks tasks. The scale path
+    past ~10⁸ names (the driver-resident array's documented limit)."""
+    from ..stages.shuffle import distinct_rows
+
+    def names_only(t: pa.Table) -> pa.Table:
+        return pa.table({"repo": pa.concat_arrays(
+            [t["src_repo"].combine_chunks().cast(pa.string()),
+             t["dst_repo"].combine_chunks().cast(pa.string())])})
+
+    names = edges_ds.select_columns(["src_repo", "dst_repo"]).map_batches(
+        names_only, batch_format="pyarrow", zero_copy_batch=True)
+    if extra_names_ds is not None:
+        col = extra_names_ds.schema().names[0]
+
+        def rename(t: pa.Table, col=col) -> pa.Table:
+            return pa.table({"repo": t[col].cast(pa.string())})
+
+        names = names.union(extra_names_ds.map_batches(
+            rename, batch_format="pyarrow"))
+    distinct = distinct_rows(names, ["repo"])
+    sorted_names = distinct.sort("repo").materialize()
+    # per-block row counts from block METADATA (no data fetch); the
+    # offsets vector is O(#blocks), not O(V)
+    bundles = list(sorted_names.iter_internal_ref_bundles())
+    counts = [int(b.num_rows()) for b in bundles]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def add_vids(block_ref, offset: int) -> pa.Table:
+        t = block_ref if isinstance(block_ref, pa.Table) else block_ref
+        return pa.table({
+            "repo": t["repo"],
+            "vid": np.arange(offset, offset + len(t), dtype=np.int64)})
+
+    out_refs = []
+    for bundle, off in zip(bundles, offsets):
+        for block_ref in bundle.block_refs:
+            out_refs.append(add_vids.remote(block_ref, int(off)))
+    return rd.from_arrow_refs(out_refs)
+
+
+def encode_edges_distributed(edges_ds: rd.Dataset, mapping: rd.Dataset,
+                             num_buckets: int = 32) -> rd.Dataset:
+    """Edge name→vid encoding WITHOUT a driver/broadcast name array: a
+    hash-bucketed sort-merge join of each endpoint column against the
+    (repo, vid) mapping Dataset. Two shuffle joins (one per endpoint) —
+    the honest all-distributed form of the IdMap lookup."""
+
+    def _join_side(ds: rd.Dataset, name_col: str, keep_col: str,
+                   out_name: str) -> rd.Dataset:
+        def tag_edges(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            names = t[name_col].to_pylist()
+            h = pd.util.hash_array(np.asarray(names, dtype=object),
+                                   categorize=False)
+            return pa.table({
+                "name": pa.array(names, type=pa.string()),
+                "other": t[keep_col].cast(pa.string()),
+                "is_map": np.zeros(len(names), dtype=bool),
+                "vid": np.full(len(names), -1, dtype=np.int64),
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+            })
+
+        def tag_map(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            names = t["repo"].to_pylist()
+            h = pd.util.hash_array(np.asarray(names, dtype=object),
+                                   categorize=False)
+            return pa.table({
+                "name": pa.array(names, type=pa.string()),
+                "other": pa.array([""] * len(names), type=pa.string()),
+                "is_map": np.ones(len(names), dtype=bool),
+                "vid": t["vid"].cast(pa.int64()),
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+            })
+
+        def join_kernel(group) -> "pa.Table":
+            import pandas as pd
+            m = group[group["is_map"]]
+            e = group[~group["is_map"]]
+            lut = pd.Series(m["vid"].to_numpy(),
+                            index=m["name"]).to_dict()
+            return pd.DataFrame({
+                out_name: e["name"].map(lut).astype(np.int64),
+                "other": e["other"],
+            })
+
+        both = (ds.map_batches(tag_edges, batch_format="pyarrow")
+                .union(mapping.map_batches(tag_map,
+                                           batch_format="pyarrow")))
+        return (both.groupby("__bucket")
+                .map_groups(join_kernel, batch_format="pandas"))
+
+    src_done = _join_side(edges_ds, "src_repo", "dst_repo", "src")
+
+    # second pass joins dst names, carrying the already-encoded src vid
+    def tag_edges2(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        names = t["other"].to_pylist()
+        h = pd.util.hash_array(np.asarray(names, dtype=object),
+                               categorize=False)
+        return pa.table({
+            "name": pa.array(names, type=pa.string()),
+            "src": t["src"],
+            "is_map": np.zeros(len(names), dtype=bool),
+            "vid": np.full(len(names), -1, dtype=np.int64),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def tag_map2(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        names = t["repo"].to_pylist()
+        h = pd.util.hash_array(np.asarray(names, dtype=object),
+                               categorize=False)
+        return pa.table({
+            "name": pa.array(names, type=pa.string()),
+            "src": np.full(len(names), -1, dtype=np.int64),
+            "is_map": np.ones(len(names), dtype=bool),
+            "vid": t["vid"].cast(pa.int64()),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def join_kernel2(group) -> "pa.DataFrame":
+        import pandas as pd
+        m = group[group["is_map"]]
+        e = group[~group["is_map"]]
+        lut = pd.Series(m["vid"].to_numpy(), index=m["name"]).to_dict()
+        return pd.DataFrame({
+            "src": e["src"].astype(np.int64),
+            "dst": e["name"].map(lut).astype(np.int64),
+        })
+
+    def src_table(df) -> "pa.Table":
+        return pa.table({"other": pa.array(df["other"].tolist(),
+                                           type=pa.string()),
+                         "src": df["src"].to_numpy(np.int64)})
+
+    src_ds = src_done.map_batches(src_table, batch_format="pandas")
+    both2 = (src_ds.map_batches(tag_edges2, batch_format="pyarrow")
+             .union(mapping.map_batches(tag_map2, batch_format="pyarrow")))
+    return (both2.groupby("__bucket")
+            .map_groups(join_kernel2, batch_format="pandas"))
+
+
 def build_graph(
     edges_ds: rd.Dataset,
     graph_dir: str,
@@ -63,22 +215,37 @@ def build_graph(
     aggregation: str = "single",   # 'single' | 'count'
     extra_names_ds: rd.Dataset | None = None,
     lineage: dict | None = None,
+    distributed_ids: bool = False,
 ) -> PartitionedGraph:
     """edges_ds columns: (src_repo, dst_repo, ...). Writes the graph dir
-    layout and returns the PartitionedGraph handle."""
+    layout and returns the PartitionedGraph handle.
+
+    distributed_ids=True switches the IdMap step to the fully
+    distributed form (no driver-resident name array; sort-ranked vids +
+    hash-bucketed encode joins — see assign_vertex_ids_distributed) for
+    vertex sets past the broadcast array's ~10⁸-name comfort zone.
+    Both paths produce identical vids (rank by sorted name)."""
     os.makedirs(graph_dir, exist_ok=True)
-    names = assign_vertex_ids(edges_ds, extra_names_ds)
-    n = len(names)
-    names_ref = ray.put(names)
+    if distributed_ids:
+        mapping = assign_vertex_ids_distributed(
+            edges_ds, extra_names_ds).materialize()
+        n = mapping.count()
+        int_edges = encode_edges_distributed(edges_ds, mapping)
+    else:
+        names = assign_vertex_ids(edges_ds, extra_names_ds)
+        n = len(names)
+        names_ref = ray.put(names)
 
-    def encode(batch: pa.Table) -> pa.Table:
-        idx = pd.Index(ray.get(names_ref))
-        src = idx.get_indexer(batch["src_repo"].to_pylist()).astype(np.int64)
-        dst = idx.get_indexer(batch["dst_repo"].to_pylist()).astype(np.int64)
-        return pa.table({"src": src, "dst": dst})
+        def encode(batch: pa.Table) -> pa.Table:
+            idx = pd.Index(ray.get(names_ref))
+            src = idx.get_indexer(
+                batch["src_repo"].to_pylist()).astype(np.int64)
+            dst = idx.get_indexer(
+                batch["dst_repo"].to_pylist()).astype(np.int64)
+            return pa.table({"src": src, "dst": dst})
 
-    int_edges = edges_ds.map_batches(encode, batch_format="pyarrow",
-                                     zero_copy_batch=True)
+        int_edges = edges_ds.map_batches(encode, batch_format="pyarrow",
+                                         zero_copy_batch=True)
     # parallel-edge aggregation (reference Aggregation at load time) via
     # bucketed distinct (stages.shuffle — Ray's native groupby is
     # per-group-cost-bound and unusable at edge cardinality)
@@ -103,10 +270,15 @@ def build_graph(
     # re-run the shuffle (small relative to the raw input; spills if large)
     dedup = grouped.map_batches(finish, batch_format="pyarrow").materialize()
 
-    vertices = pa.table({
-        "vid": np.arange(n, dtype=np.int64),
-        "repo": pa.array(list(names), type=pa.string()),
-    })
+    if distributed_ids:
+        # stream the IdMap out (pq.read_table reads the directory form)
+        mapping.write_parquet(os.path.join(graph_dir, "vertices.parquet"))
+        vertices = None
+    else:
+        vertices = pa.table({
+            "vid": np.arange(n, dtype=np.int64),
+            "repo": pa.array(list(names), type=pa.string()),
+        })
     return _finish_layout(dedup, graph_dir, n, num_parts, weighted,
                           aggregation, lineage, vertices=vertices)
 

@@ -96,3 +96,36 @@ def test_count_aggregation(ray_session, tmp_path):
     t = pq.read_table(glob.glob(f"{g.path}/out/part=*/*.parquet")[0])
     assert "weight" in t.column_names
     assert (t["weight"].to_numpy() >= 1.0).all()
+
+
+def test_distributed_id_assignment_matches_driver_path(
+        ray_session, tmp_path):
+    """build_graph(distributed_ids=True) — the no-driver-name-array
+    IdMap (sort-ranked vids + hash-bucketed encode joins) — must
+    produce the identical graph."""
+    from graph_data_science_ray.sources.edge_derivation import derive_edges
+    from graph_data_science_ray.sources.graph_build import build_graph
+    path, _, _ = write_repo_table(str(tmp_path / "repos.parquet"), 120,
+                                  seed=9)
+    cols = ["repo", "path", "commit", "content"]
+    edges_a = derive_edges(rd.read_parquet(path, columns=cols))
+    ga = build_graph(edges_a, str(tmp_path / "ga"), num_parts=3)
+    edges_b = derive_edges(rd.read_parquet(path, columns=cols))
+    gb = build_graph(edges_b, str(tmp_path / "gb"), num_parts=3,
+                     distributed_ids=True)
+    assert gb.n == ga.n and gb.num_edges == ga.num_edges
+
+    def edge_set(g):
+        parts = []
+        for f in glob.glob(f"{g.path}/out/part=*/*.parquet"):
+            t = pq.read_table(f)
+            parts.append(np.stack([t["src"].to_numpy(),
+                                   t["dst"].to_numpy()], axis=1))
+        return np.unique(np.concatenate(parts), axis=0)
+
+    assert np.array_equal(edge_set(ga), edge_set(gb))
+    # vertices directory form reads back with identical (vid, repo) rows
+    va = pq.read_table(f"{ga.path}/vertices.parquet").to_pandas()
+    vb = pq.read_table(f"{gb.path}/vertices.parquet").to_pandas()
+    vb = vb[["vid", "repo"]].sort_values("vid").reset_index(drop=True)
+    assert va.equals(vb)
