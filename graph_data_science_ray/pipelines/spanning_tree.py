@@ -29,33 +29,48 @@ import ray
 from ..stages.superstep import PartitionedGraph
 
 
+# MST per (graph path, weighted) — q_spanning_tree and q_k_spanning_tree
+# run Borůvka on the same cached graph; recomputing it is pure waste.
+_MST_CACHE: dict = {}
+
+
 def spanning_tree(graph: PartitionedGraph,
                   max_rounds: int = 64) -> pd.DataFrame:
     """(src, dst, weight) MST/forest edges, canonical src < dst."""
+    cache_key = ((graph.path, graph.weighted, max_rounds)
+                 if graph.kind == "parquet" else None)
+    if cache_key is not None and cache_key in _MST_CACHE:
+        return _MST_CACHE[cache_key].copy()
     n = graph.n
     labels = np.arange(n, dtype=np.int64)
-    cols = ("src", "dst", "weight") if graph.weighted else ("src", "dst")
     chosen_s, chosen_d, chosen_w = [], [], []
+    # Materialize the external-edge set once, then shrink it each round
+    # (internal edges can never re-become external) — avoids re-reading
+    # the full edge parquet every Borůvka round (O(rounds·E) I/O).
+    edges = graph.edges_dataset(("src", "dst", "weight"),
+                                flow="out").materialize()
 
     for _ in range(max_rounds):
         labels_ref = ray.put(labels)
-        edges = graph.edges_dataset(cols, flow="out")
+
+        def keep_external(t: pa.Table) -> pa.Table:
+            lab = ray.get(labels_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            ext = lab[src] != lab[dst]
+            return t.filter(pa.array(ext))
+
+        edges = edges.map_batches(keep_external, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+        if edges.count() == 0:
+            break
 
         def partial(t: pa.Table) -> pa.Table:
             lab = ray.get(labels_ref)
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
-            w = (t["weight"].to_numpy(zero_copy_only=False).astype(
-                np.float64) if "weight" in t.column_names
-                else np.ones(len(src)))
+            w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
             ls, ld = lab[src], lab[dst]
-            ext = ls != ld
-            src, dst, w, ls, ld = src[ext], dst[ext], w[ext], ls[ext], ld[ext]
-            if len(src) == 0:
-                return pa.table({"comp": np.empty(0, np.int64),
-                                 "w": np.empty(0, np.float64),
-                                 "u": np.empty(0, np.int64),
-                                 "v": np.empty(0, np.int64)})
             # each edge is a candidate for BOTH endpoint components;
             # keep the per-batch minimum (w, u, v) per component
             comp = np.concatenate([ls, ld])
@@ -121,7 +136,10 @@ def spanning_tree(graph: PartitionedGraph,
     out = pd.DataFrame({"src": np.array(chosen_s, dtype=np.int64),
                         "dst": np.array(chosen_d, dtype=np.int64),
                         "weight": np.array(chosen_w, dtype=np.float64)})
-    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+    out = out.sort_values(["src", "dst"]).reset_index(drop=True)
+    if cache_key is not None:
+        _MST_CACHE[cache_key] = out.copy()
+    return out
 
 
 def k_spanning_tree(graph: PartitionedGraph, k: int,

@@ -111,15 +111,26 @@ class PartitionedGraph:
         parquet kind streams the flow's block files (each edge appears
         once per flow)."""
         import ray.data as rd
-        columns = [c for c in columns
-                   if c != "weight" or self.weighted or self.kind == "arrays"]
+        columns = list(columns)
         if self.kind == "arrays":
             cols = {"src": self.src, "dst": self.dst}
             if "weight" in columns:
                 cols["weight"] = (self.weight if self.weight is not None
                                   else np.ones(len(self.src)))
             return rd.from_arrow(pa.table({c: cols[c] for c in columns}))
-        return rd.read_parquet(self.flow_files(flow), columns=list(columns))
+        # Symmetric weight contract with the arrays kind: a requested
+        # 'weight' column on an unweighted graph is synthesized as ones
+        # (callers like spanning_tree pass ('src','dst','weight')
+        # unconditionally).
+        read_cols = [c for c in columns if c != "weight" or self.weighted]
+        ds = rd.read_parquet(self.flow_files(flow), columns=read_cols)
+        if "weight" in columns and not self.weighted:
+            def _ones(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "weight", pa.array(np.ones(len(t)), type=pa.float64()))
+            ds = ds.map_batches(_ones, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        return ds
 
 
 # --------------------------------------------------------------------------
