@@ -3,20 +3,25 @@
 out-neighbor sets for node pairs sharing at least one neighbor, with
 degreeCutoff / similarityCutoff / per-node topK / global topN.
 
-Distributed shape (works on arrays and parquet graphs alike):
-  1. candidate pairs from the inverted index — sources co-occurring in
-     some target's in-list, generated per dst-bucket with the vectorized
-     pair expansion (never all-pairs), dedup'd by hash-bucket groupby;
-  2. exact set scores in a bucketed ``map_groups`` kernel probing the
-     broadcast CSR (``ray.put`` once, zero-copy per group) — the
-     intersection of every pair in the bucket is computed in ONE
-     duplicate-count pass over (pair, neighbor) keys, no per-pair loop;
+Distributed shape (works on arrays and parquet graphs alike, NO
+driver-resident edge arrays and NO O(E) CSR broadcast):
+  1. inverted-index pair counting — bucket edges by dst; per bucket,
+     every source pair co-occurring in a dst's in-list is emitted with
+     its within-bucket multiplicity (vectorized pair expansion +
+     unique-counts). Because each dst lives in exactly one bucket, the
+     hash-bucketed SUM of multiplicities across buckets is exactly
+     |N(a) ∩ N(b)| — the intersection falls out of the shuffle for
+     free, no per-pair set probe needed;
+  2. similarity = inter / (deg(a) + deg(b) − inter) (jaccard) or
+     inter / min(deg) (overlap) in a stateless ``map_batches`` with the
+     O(V) distinct-out-degree array broadcast once via ``ray.put``;
   3. per-node topK as a node-bucketed truncation with the reference's
      (similarity desc, smaller id) ordering.
 
-Scale note: the CSR broadcast is O(E) in the object store (fine to
-~10⁹ edges/node); beyond that step 2 becomes a partitioned join of the
-pair table against dst-keyed adjacency — same kernel, one more shuffle.
+Driver/broadcast state is O(V) (degree + eligibility), matching the
+superstep engine's label-array budget. Shuffle volume is the pair
+multiset Σ in-deg² — the same volume the reference's inverted index
+iterates, but spread across buckets instead of one heap.
 """
 
 from __future__ import annotations
@@ -27,37 +32,36 @@ import pyarrow as pa
 import ray
 
 from ..stages.superstep import PartitionedGraph
-from ..state.blocks import ranges_to_indices
 from .triangles import _pairs_within_groups
 
 
-def _csr(n: int, src: np.ndarray, dst: np.ndarray):
-    order = np.lexsort((dst, src))
-    s, d = src[order], dst[order]
-    # distinct neighbors (reference uses distinct-neighbor semantics)
-    keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
-    s, d = s[keep], d[keep]
-    indptr = np.searchsorted(s, np.arange(n + 1))
-    return indptr, d
-
-
-def _stream_edges(graph: PartitionedGraph) -> tuple[np.ndarray, np.ndarray]:
-    if graph.kind == "arrays":
-        return graph.src, graph.dst
-    parts_s, parts_d = [], []
-    for batch in graph.edges_dataset(("src", "dst"), flow="out").iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"):
-        parts_s.append(batch["src"].to_numpy(zero_copy_only=False))
-        parts_d.append(batch["dst"].to_numpy(zero_copy_only=False))
-    if not parts_s:
-        e = np.empty(0, dtype=np.int64)
-        return e, e
-    return np.concatenate(parts_s), np.concatenate(parts_d)
-
-
-def _candidate_pairs(graph: PartitionedGraph, eligible_ref, num_buckets: int):
-    """Distinct source pairs sharing at least one out-target (a < b)."""
+def _distinct_out_degree(graph: PartitionedGraph) -> np.ndarray:
+    """Distinct-out-neighbor degree (reference dedups parallel edges);
+    driver receives only compact (vid, cnt) partials."""
     from ..stages.shuffle import distinct_rows
+    n = graph.n
+    deg = np.zeros(n, dtype=np.int64)
+    distinct = distinct_rows(
+        graph.edges_dataset(("src", "dst"), flow="out"), ["src", "dst"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vids, cnts = np.unique(t["src"].to_numpy(zero_copy_only=False),
+                               return_counts=True)
+        return pa.table({"vid": vids, "cnt": cnts})
+
+    compact = distinct.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    for batch in compact.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow"):
+        np.add.at(deg, batch["vid"].to_numpy(zero_copy_only=False),
+                  batch["cnt"].to_numpy(zero_copy_only=False))
+    return deg
+
+
+def _counted_pairs(graph: PartitionedGraph, eligible_ref, num_buckets: int):
+    """(a, b, inter) for a < b: source pairs sharing ≥1 out-target,
+    with inter = exact distinct-neighbor intersection size."""
+    from ..stages.shuffle import aggregate_rows
     edges = graph.edges_dataset(("src", "dst"), flow="out")
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -75,50 +79,25 @@ def _candidate_pairs(graph: PartitionedGraph, eligible_ref, num_buckets: int):
         ps = np.unique(np.stack([d, s], axis=1), axis=0)
         if len(ps) == 0:
             e = np.empty(0, np.int64)
-            return pd.DataFrame({"a": e, "b": e})
+            return pd.DataFrame({"a": e, "b": e, "inter": e})
         dd, ss = ps[:, 0], ps[:, 1]
         change = np.flatnonzero(np.r_[dd[1:] != dd[:-1], True]) + 1
         group_end = np.repeat(change, np.diff(np.r_[0, change]))
         li, ri = _pairs_within_groups(group_end)
         if len(li) == 0:
             e = np.empty(0, np.int64)
-            return pd.DataFrame({"a": e, "b": e})
-        pairs = np.unique(np.stack([ss[li], ss[ri]], axis=1), axis=0)
-        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+            return pd.DataFrame({"a": e, "b": e, "inter": e})
+        # ss ascends within each dst run, so a < b canonically; the
+        # multiplicity of (a, b) here = #shared dsts in THIS bucket
+        pairs, cnts = np.unique(np.stack([ss[li], ss[ri]], axis=1),
+                                axis=0, return_counts=True)
+        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1],
+                             "inter": cnts.astype(np.int64)})
 
-    pairs = (edges.map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("__bucket")
-             .map_groups(pair_kernel, batch_format="pandas"))
-    return distinct_rows(pairs, ["a", "b"])
-
-
-def _score_kernel(group: pd.DataFrame, indptr_ref, indices_ref, n: int,
-                  metric: str, cutoff: float) -> pd.DataFrame:
-    """Exact set similarity for every pair in the bucket — one
-    duplicate-count pass over (pair, neighbor) keys."""
-    ip = ray.get(indptr_ref)
-    ix = ray.get(indices_ref)
-    a = group["a"].to_numpy()
-    b = group["b"].to_numpy()
-    m = len(a)
-    da = (ip[a + 1] - ip[a]).astype(np.int64)
-    db = (ip[b + 1] - ip[b]).astype(np.int64)
-    pid = np.arange(m, dtype=np.int64)
-    keys_a = np.repeat(pid, da) * n + ix[ranges_to_indices(ip[a], ip[a + 1])]
-    keys_b = np.repeat(pid, db) * n + ix[ranges_to_indices(ip[b], ip[b + 1])]
-    keys = np.concatenate([keys_a, keys_b])
-    keys.sort(kind="stable")
-    dup = keys[1:] == keys[:-1]
-    inter = np.bincount(keys[1:][dup] // n, minlength=m)
-    if metric == "jaccard":
-        denom = da + db - inter
-    else:  # overlap
-        denom = np.minimum(da, db)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sims = np.where(denom > 0, inter / denom, 0.0)
-    keep = sims >= cutoff
-    return pd.DataFrame({"a": a[keep], "b": b[keep],
-                         "similarity": sims[keep]})
+    counted = (edges.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(pair_kernel, batch_format="pandas"))
+    return aggregate_rows(counted, ["a", "b"], ["inter"])
 
 
 def node_similarity(
@@ -132,27 +111,29 @@ def node_similarity(
 ) -> pd.DataFrame:
     """(node1, node2, similarity) — both directions per pair like the
     reference's stream mode (a→b and b→a when both survive topK)."""
-    n = graph.n
-    src, dst = _stream_edges(graph)
-    indptr, indices = _csr(n, src, dst)
-    deg = np.diff(indptr)
+    deg = _distinct_out_degree(graph)
     eligible = deg >= degree_cutoff
     eligible_ref = ray.put(eligible)
-    indptr_ref = ray.put(indptr)
-    indices_ref = ray.put(indices)
+    deg_ref = ray.put(deg)
 
-    pairs = _candidate_pairs(graph, eligible_ref, num_buckets)
+    pairs = _counted_pairs(graph, eligible_ref, num_buckets)
 
-    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = df["a"].to_numpy() % num_buckets
-        return df
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dg = ray.get(deg_ref)
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        inter = df["inter"].to_numpy().astype(np.float64)
+        if metric == "jaccard":
+            denom = dg[a] + dg[b] - inter
+        else:  # overlap
+            denom = np.minimum(dg[a], dg[b]).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, inter / denom, 0.0)
+        keep = sims >= similarity_cutoff
+        return pd.DataFrame({"a": a[keep], "b": b[keep],
+                             "similarity": sims[keep]})
 
-    scored = (pairs.map_batches(rebucket, batch_format="pandas")
-              .groupby("__bucket")
-              .map_groups(_score_kernel, batch_format="pandas",
-                          fn_args=(indptr_ref, indices_ref, n, metric,
-                                   similarity_cutoff)))
+    scored = pairs.map_batches(score, batch_format="pandas")
 
     def both_directions(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
