@@ -1,16 +1,26 @@
 """Random walks — parity with gds.randomWalk / traversal/RandomWalk.java
 (uniform case; node2vec return/in-out bias via the p,q parameters).
 
-Shape: a walker table (walk_id, cur, step) advanced hop by hop with a
-vectorized map_batches kernel probing the broadcast CSR adjacency
-(`ray.put` once). Each hop's RNG is keyed by (seed, walk_id, step) so
-walks are deterministic and independent of partitioning/batching.
+Shape: a walker table (walk_id, cur, step) advanced hop by hop as a
+Dataset. Each hop ROUTES walkers to the adjacency shard that owns their
+current vertex (``groupby(vid % P)``) — the graph's own out-flow
+partitioning (src % P, sources/graph_build.py layout) — so no task ever
+holds more than one shard's CSR and the driver never holds edges at
+all. Shards are built once per graph by P parallel tasks reading their
+own partition files and are cached in the object store.
+
+The biased (node2vec p/q) hop needs the PREVIOUS vertex's adjacency for
+the in-out membership probe, so it runs as two routed stages: stage A
+(bucket by cur) expands each walker's candidate neighbors; stage B
+(bucket by prev — every candidate of a walker shares its prev, so a
+walker's candidates stay together) weights candidates 1/p / 1 / 1/q via
+a shard-local membership probe and samples by segmented inverse
+transform. Each hop's RNG is keyed by (seed, walk_id, step) so walks
+are deterministic and independent of partitioning/batching.
 
 The walker table STAYS a Dataset across hops (materialized per hop in
 the object store — never collected to the driver mid-walk); per-step
-slices are unioned and collected once at the end. Scale note: the CSR
-broadcast is O(E) in the object store (~10⁹ edges/node); beyond that
-the hop becomes a superstep routing program over partitioned blocks.
+slices are unioned and collected once at the end.
 """
 
 from __future__ import annotations
@@ -32,6 +42,9 @@ def _csr(n: int, src: np.ndarray, dst: np.ndarray):
 
 
 def _graph_csr(graph: PartitionedGraph):
+    """Driver-resident full CSR — ONLY for inherently sequential
+    consumers (DFS preorder; reference is sequential too). Walks use
+    the sharded path below."""
     if graph.kind == "arrays":
         return _csr(graph.n, graph.src, graph.dst)
     parts_s, parts_d = [], []
@@ -43,6 +56,70 @@ def _graph_csr(graph: PartitionedGraph):
         e = np.empty(0, dtype=np.int64)
         return _csr(graph.n, e, e)
     return _csr(graph.n, np.concatenate(parts_s), np.concatenate(parts_d))
+
+
+def _n_local(n: int, P: int, p: int) -> int:
+    return max(0, (n + P - 1 - p) // P)
+
+
+@ray.remote
+def _shard_from_files(files: list, n: int, P: int, p: int):
+    """CSR over one partition's srcs (all ≡ p mod P), rows indexed by
+    src // P; neighbor lists ascend by dst (sampling-order contract)."""
+    import pyarrow.parquet as pq
+    if files:
+        t = pa.concat_tables([pq.read_table(f, columns=["src", "dst"])
+                              for f in files])
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        src = dst = np.empty(0, np.int64)
+    loc = src // P
+    order = np.lexsort((dst, loc))
+    loc, d = loc[order], dst[order]
+    indptr = np.searchsorted(loc, np.arange(_n_local(n, P, p) + 1))
+    # sorted src*n+dst keys: one searchsorted answers every "is y a
+    # neighbor of x" membership probe for the biased walk, vectorized
+    keys = (loc * P + p) * n + d
+    return indptr, d, keys
+
+
+_SHARD_CACHE: dict = {}
+
+
+def _adjacency_shards(graph: PartitionedGraph) -> tuple[int, list]:
+    """(P, [ObjectRef per partition]) adjacency shards routed by
+    vid % P; built in parallel from the graph's own partition files and
+    cached per graph dir."""
+    if graph.kind == "parquet":
+        key = graph.path
+        if key in _SHARD_CACHE:
+            return _SHARD_CACHE[key]
+        import glob
+        import os
+        P = graph.num_parts_layout
+        refs = []
+        for p in range(P):
+            files = sorted(glob.glob(
+                os.path.join(graph.path, "out", f"part={p}", "*.parquet")))
+            refs.append(_shard_from_files.remote(files, graph.n, P, p))
+        # resolve to plasma refs (shards stay in the object store)
+        refs = [ray.put(ray.get(r)) for r in refs]
+        _SHARD_CACHE[key] = (P, refs)
+        return P, refs
+    # arrays kind: shard the (small) driver arrays by the same rule
+    P = max(4, min(16, int(ray.cluster_resources().get("CPU", 4))))
+    n, src, dst = graph.n, graph.src, graph.dst
+    refs = []
+    for p in range(P):
+        sel = src % P == p
+        s, d = src[sel], dst[sel]
+        loc = s // P
+        order = np.lexsort((d, loc))
+        loc, d = loc[order], d[order]
+        indptr = np.searchsorted(loc, np.arange(_n_local(n, P, p) + 1))
+        refs.append(ray.put((indptr, d, (loc * P + p) * n + d)))
+    return P, refs
 
 
 _MIX1 = 0x9E3779B97F4A7C15
@@ -61,6 +138,14 @@ def _hash_rand(seed: int, walk_id: np.ndarray, step: int) -> np.ndarray:
     return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
+def _bucket_by(col: str, P: int):
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = df[col].to_numpy() % P
+        return df
+    return add
+
+
 def random_walks(
     graph: PartitionedGraph,
     walk_length: int = 10,
@@ -77,60 +162,133 @@ def random_walks(
     Node2VecRandomWalk): unnormalized next-hop weight 1/p for returning
     to the previous vertex, 1 for a neighbor of the previous vertex,
     1/q otherwise, sampled by cumulative inverse transform."""
-    n = graph.n
-    indptr, indices = _graph_csr(graph)
-    indptr_ref = ray.put(indptr)
-    indices_ref = ray.put(indices)
+    P, shard_refs = _adjacency_shards(graph)
     biased = not (return_factor == 1.0 and in_out_factor == 1.0)
-    # for the biased membership probe: the CSR layout is (src, dst)
-    # lexsorted, so src*n+dst is globally sorted — one searchsorted
-    # answers "is y a neighbor of x" for the whole batch
-    keys_ref = None
-    if biased:
-        keys = (np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr)) * n
-                + indices)
-        keys_ref = ray.put(keys)
 
-    starts = (np.arange(n, dtype=np.int64) if source_vids is None
+    starts = (np.arange(graph.n, dtype=np.int64) if source_vids is None
               else np.asarray(source_vids, dtype=np.int64))
     starts = np.repeat(starts, walks_per_node)
     walk_ids = np.arange(len(starts), dtype=np.int64)
 
-    step0 = pa.table({"walk_id": walk_ids,
-                      "step": np.zeros(len(starts), dtype=np.int64),
-                      "vid": starts,
-                      "prev": np.full(len(starts), -1, dtype=np.int64)})
-    frames: list[rd.Dataset] = [rd.from_arrow(step0)]
+    step0 = pd.DataFrame({"walk_id": walk_ids,
+                          "step": np.zeros(len(starts), dtype=np.int64),
+                          "vid": starts,
+                          "prev": np.full(len(starts), -1, dtype=np.int64)})
+    frames: list[rd.Dataset] = [rd.from_pandas(step0)]
     cur = frames[0]
 
-    for step in range(1, walk_length):
-        def hop(t: pa.Table, step=step) -> pa.Table:
-            ip = ray.get(indptr_ref)
-            ix = ray.get(indices_ref)
-            wid = t["walk_id"].to_numpy(zero_copy_only=False)
-            cur_v = t["vid"].to_numpy(zero_copy_only=False)
-            prev = t["prev"].to_numpy(zero_copy_only=False)
-            deg = ip[cur_v + 1] - ip[cur_v]
-            alive = deg > 0
-            wid, cur_v, prev, deg = (wid[alive], cur_v[alive], prev[alive],
-                                     deg[alive])
-            r = _hash_rand(seed, wid, step)
-            if not biased and len(cur_v):
-                nxt = ix[ip[cur_v] + (r * deg).astype(np.int64)]
-            elif len(cur_v):
-                nxt = _biased_next(ip, ix, ray.get(keys_ref), n, cur_v,
-                                   prev, deg, r, return_factor,
-                                   in_out_factor)
-            else:
-                nxt = cur_v
-            return pa.table({"walk_id": pa.array(wid),
-                             "step": pa.array(
-                                 np.full(len(wid), step, dtype=np.int64)),
-                             "vid": pa.array(nxt),
-                             "prev": pa.array(cur_v)})
+    def uniform_hop(group: pd.DataFrame, step: int) -> pd.DataFrame:
+        p = int(group["__bucket"].iloc[0])
+        ip, ix, _keys = ray.get(shard_refs[p])
+        wid = group["walk_id"].to_numpy()
+        cur_v = group["vid"].to_numpy()
+        loc = cur_v // P
+        deg = ip[loc + 1] - ip[loc]
+        alive = deg > 0
+        wid, cur_v, loc, deg = wid[alive], cur_v[alive], loc[alive], deg[alive]
+        if len(wid) == 0:
+            e = np.empty(0, np.int64)
+            return pd.DataFrame({"walk_id": e, "step": e, "vid": e,
+                                 "prev": e})
+        r = _hash_rand(seed, wid, step)
+        nxt = ix[ip[loc] + (r * deg).astype(np.int64)]
+        return pd.DataFrame({"walk_id": wid,
+                             "step": np.full(len(wid), step, np.int64),
+                             "vid": nxt, "prev": cur_v})
 
-        cur = cur.map_batches(hop, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+    def expand_candidates(group: pd.DataFrame) -> pd.DataFrame:
+        """Biased stage A: every oriented neighbor of each walker's
+        current vertex, with its position in the (dst-ascending)
+        adjacency for deterministic segmented sampling downstream."""
+        from ..state.blocks import ranges_to_indices
+        p = int(group["__bucket"].iloc[0])
+        ip, ix, _keys = ray.get(shard_refs[p])
+        wid = group["walk_id"].to_numpy()
+        cur_v = group["vid"].to_numpy()
+        prev = group["prev"].to_numpy()
+        loc = cur_v // P
+        deg = (ip[loc + 1] - ip[loc]).astype(np.int64)
+        alive = deg > 0
+        wid, cur_v, prev, loc, deg = (wid[alive], cur_v[alive], prev[alive],
+                                      loc[alive], deg[alive])
+        if len(wid) == 0:
+            e = np.empty(0, np.int64)
+            return pd.DataFrame({"walk_id": e, "cur": e, "prev": e,
+                                 "nbr": e, "pos": e})
+        nbrs = ix[ranges_to_indices(ip[loc], ip[loc] + deg)]
+        owner = np.repeat(np.arange(len(wid), dtype=np.int64), deg)
+        pos = (np.arange(len(nbrs), dtype=np.int64)
+               - np.repeat(np.cumsum(deg) - deg, deg))
+        return pd.DataFrame({"walk_id": wid[owner], "cur": cur_v[owner],
+                             "prev": prev[owner], "nbr": nbrs, "pos": pos})
+
+    def sample_biased(group: pd.DataFrame, step: int) -> pd.DataFrame:
+        """Biased stage B: weight + sample, shard-local membership probe
+        against prev's adjacency (all candidates of a walker share prev,
+        so the walker's whole candidate set is in this bucket)."""
+        p = int(group["__bucket"].iloc[0])
+        _ip, _ix, keys = ray.get(shard_refs[p])
+        g = group.sort_values(["walk_id", "pos"], kind="stable")
+        wid = g["walk_id"].to_numpy()
+        cur_v = g["cur"].to_numpy()
+        prev = g["prev"].to_numpy()
+        nbrs = g["nbr"].to_numpy()
+        has_prev = prev >= 0
+        n = graph.n
+        w = np.full(len(nbrs), 1.0 / in_out_factor)
+        # membership probe against prev's adjacency: prev % P == p here,
+        # so the shard's sorted src*n+dst keys answer it in one pass
+        if has_prev.any() and len(keys):
+            probe = np.where(has_prev, prev, 0) * n + nbrs
+            pos_ = np.searchsorted(keys, probe)
+            pos_ = np.minimum(pos_, len(keys) - 1)
+            found = keys[pos_] == probe
+            w[has_prev & found] = 1.0
+            w[has_prev & (nbrs == prev)] = 1.0 / return_factor
+        w[~has_prev] = 1.0
+        # segmented inverse-transform sampling per walker
+        change = np.flatnonzero(np.r_[True, wid[1:] != wid[:-1]])
+        seg_len = np.diff(np.r_[change, len(wid)])
+        cw = np.cumsum(w)
+        ends = np.cumsum(seg_len)
+        starts_ = ends - seg_len
+        base = np.where(starts_ > 0, cw[starts_ - 1], 0.0)
+        seg_tot = cw[ends - 1] - base
+        r = _hash_rand(seed, wid[starts_], step)
+        target = r * seg_tot + base
+        pick = np.searchsorted(cw, target, side="right")
+        pick = np.minimum(pick, ends - 1)
+        pick = np.maximum(pick, starts_)
+        return pd.DataFrame({
+            "walk_id": wid[starts_],
+            "step": np.full(len(starts_), step, np.int64),
+            "vid": nbrs[pick], "prev": cur_v[starts_]})
+
+    for step in range(1, walk_length):
+        if not biased:
+            cur = (cur.map_batches(_bucket_by("vid", P),
+                                   batch_format="pandas")
+                   .groupby("__bucket")
+                   .map_groups(uniform_hop, batch_format="pandas",
+                               fn_args=(step,))
+                   .materialize())
+        else:
+            cands = (cur.map_batches(_bucket_by("vid", P),
+                                     batch_format="pandas")
+                     .groupby("__bucket")
+                     .map_groups(expand_candidates, batch_format="pandas"))
+
+            def prev_bucket(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                pv = df["prev"].to_numpy()
+                df["__bucket"] = np.where(pv >= 0, pv % P, 0)
+                return df
+
+            cur = (cands.map_batches(prev_bucket, batch_format="pandas")
+                   .groupby("__bucket")
+                   .map_groups(sample_biased, batch_format="pandas",
+                               fn_args=(step,))
+                   .materialize())
         if cur.count() == 0:
             break
         frames.append(cur)
@@ -138,38 +296,3 @@ def random_walks(
     out_ds = frames[0] if len(frames) == 1 else frames[0].union(*frames[1:])
     out = out_ds.select_columns(["walk_id", "step", "vid"]).to_pandas()
     return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
-
-
-def _biased_next(ip, ix, edge_keys, n, cur_v, prev, deg, r, p, q):
-    """node2vec second-order sampling, vectorized over the batch: build
-    the (walker, neighbor) expansion, weight each neighbor 1/p (return),
-    1 (neighbor of prev), 1/q (else), then inverse-transform sample per
-    walker via segmented cumulative sums. edge_keys = sorted src*n+dst
-    (one searchsorted answers every 'is nbr adjacent to prev' probe)."""
-    from ..state.blocks import ranges_to_indices
-    m = len(cur_v)
-    nbr_idx = ranges_to_indices(ip[cur_v], ip[cur_v + 1])
-    nbrs = ix[nbr_idx]
-    owner = np.repeat(np.arange(m, dtype=np.int64), deg)
-    has_prev = prev[owner] >= 0
-    w = np.full(len(nbrs), 1.0 / q)
-    probe = np.where(has_prev, prev[owner], 0) * n + nbrs
-    pos = np.searchsorted(edge_keys, probe)
-    pos = np.minimum(pos, max(len(edge_keys) - 1, 0))
-    is_nbr_of_prev = has_prev & (len(edge_keys) > 0) & (
-        edge_keys[pos] == probe if len(edge_keys) else False)
-    w[is_nbr_of_prev] = 1.0
-    is_return = has_prev & (nbrs == prev[owner])
-    w[is_return] = 1.0 / p
-    w[~has_prev] = 1.0  # first hop from a start: uniform
-    # segmented inverse-transform sampling
-    cw = np.cumsum(w)
-    ends = np.cumsum(deg)
-    starts_ = ends - deg
-    base = np.where(starts_ > 0, cw[starts_ - 1], 0.0)
-    seg_tot = cw[ends - 1] - base
-    target = r * seg_tot + base
-    pick = np.searchsorted(cw, target, side="right")
-    pick = np.minimum(pick, ends - 1)
-    pick = np.maximum(pick, starts_)
-    return nbrs[pick]
