@@ -915,6 +915,29 @@ def q_link_prediction(sf_dir: str):
     })
 
 
+def q_graphsage(sf_dir: str):
+    """GraphSage (mean aggregator) train + per-node embeddings on the
+    co-supply graph with [log1p(degree), 1] features (rows-only:
+    SGD-trained; gradient-check / quality / determinism gates in
+    pytest)."""
+    from .pipelines.graphsage import (default_features,
+                                      graphsage_embeddings,
+                                      graphsage_train)
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    feats = default_features(graph)
+    model = graphsage_train(
+        graph, feats, embedding_dim=16, sample_sizes=(10, 5),
+        epochs=2, max_iterations=5,
+        batch_size=max(64, graph.n // 16), seed=42)
+    df = graphsage_embeddings(graph, feats, model)
+    df = df[df["vid"].isin(suppkeys)]
+    emb = np.round(np.stack(df["emb"].to_numpy()), _ROUND)
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(np.int64),
+        "emb": pa.array(emb.tolist(), type=pa.list_(pa.float64())),
+    })
+
+
 def q_fastrp(sf_dir: str):
     """FastRP embeddings on the co-supply graph via the engine's
     vector-valued message bundles (rows-only: random-projection values
@@ -1711,6 +1734,7 @@ _ALL_QUERIES = {
     "split_relationships": q_split_relationships,
     "max_k_cut": q_max_k_cut,
     "node2vec": q_node2vec,
+    "graphsage": q_graphsage,
     "link_prediction": q_link_prediction,
     "node_classification": q_node_classification,
     "embedding_neardup": q_embedding_neardup,
