@@ -77,25 +77,121 @@ def _pairs_within_sorted_runs(run_key_change: np.ndarray,
     return _pairs_within_groups(group_end)
 
 
-def _candidate_texts(docs: rd.Dataset, cand_ids: np.ndarray,
-                     id_col: str, text_col: str) -> dict[int, str]:
-    """Texts of the candidate docs only — a distributed membership
-    filter against the broadcast sorted id array; only the (small)
-    candidate subset is collected."""
-    if len(cand_ids) == 0:
-        return {}
+def _candidate_docs_ds(docs: rd.Dataset, cand_ids: np.ndarray,
+                       id_col: str, text_col: str) -> rd.Dataset:
+    """DATASET of the candidate docs only — a map-side membership filter
+    against the broadcast sorted id array (the id array is O(#candidate
+    ids) ints; the texts themselves never leave the cluster)."""
     ids_ref = ray.put(np.sort(cand_ids))
 
     def filt(t: pa.Table) -> pa.Table:
         s = ray.get(ids_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(s) == 0:
+            return t.slice(0, 0)
         pos = np.minimum(np.searchsorted(s, ids), len(s) - 1)
         return t.filter(pa.array(s[pos] == ids))
 
-    sub = (docs.select_columns([id_col, text_col])
-           .map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
-           .to_pandas())
-    return dict(zip(sub[id_col].astype(int), sub[text_col]))
+    return docs.select_columns([id_col, text_col]).map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pair_ids(pairs: rd.Dataset) -> np.ndarray:
+    """Distinct doc ids appearing in the pair dataset — streamed to the
+    driver as compact per-batch uniques (ints only, never texts)."""
+    seen: list[np.ndarray] = []
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate([df["a"].to_numpy(np.int64),
+                                      df["b"].to_numpy(np.int64)]))
+        return pd.DataFrame({"id": u})
+
+    for batch in pairs.map_batches(compact, batch_format="pandas") \
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        seen.append(batch["id"].to_numpy(zero_copy_only=False))
+    return (np.unique(np.concatenate(seen)) if seen
+            else np.empty(0, np.int64))
+
+
+def verify_jaccard_join(pairs: rd.Dataset, docs: rd.Dataset,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle_k: int = 5, threshold: float = 0.8,
+                        num_buckets: int = 32) -> rd.Dataset:
+    """Exact shingle-Jaccard verification as a fully distributed
+    pipeline: candidate texts are attached to the pairs by TWO
+    hash-bucketed joins (a-side, then b-side) — no driver text dict, no
+    corpus-fraction broadcast. Shuffle volume = candidate texts × 2 +
+    the pair table."""
+    cand_ids = _pair_ids(pairs)
+    cdocs = _candidate_docs_ds(docs, cand_ids, id_col, text_col)
+
+    def _join_side(pair_rows: rd.Dataset, key: str, out_col: str,
+                   carry: list[str]) -> rd.Dataset:
+        def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["a", "b"] + carry].copy()
+            out["__key"] = df[key].to_numpy(np.int64)
+            out["__text"] = ""
+            out["__kind"] = np.int64(0)
+            out["__bucket"] = _bucket_hash(out, ["__key"], num_buckets)
+            return out
+
+        def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "a": np.full(len(df), -1, np.int64),
+                "b": np.full(len(df), -1, np.int64),
+            })
+            for c in carry:
+                out[c] = ""
+            out["__key"] = df[id_col].to_numpy(np.int64)
+            out["__text"] = df[text_col].astype(str).to_numpy()
+            out["__kind"] = np.int64(1)
+            out["__bucket"] = _bucket_hash(out, ["__key"], num_buckets)
+            return out
+
+        def join_kernel(group: pd.DataFrame) -> pd.DataFrame:
+            is_doc = group["__kind"].to_numpy() == 1
+            lut = dict(zip(group["__key"].to_numpy()[is_doc],
+                           group["__text"].to_numpy()[is_doc]))
+            p = group[~is_doc]
+            out = p[["a", "b"] + carry].copy()
+            out[out_col] = [lut.get(k, "") for k in p["__key"].to_numpy()]
+            return out
+
+        both = (pair_rows.map_batches(tag_pairs, batch_format="pandas")
+                .union(cdocs.map_batches(tag_docs, batch_format="pandas")))
+        return (both.groupby("__bucket")
+                .map_groups(join_kernel, batch_format="pandas"))
+
+    with_a = _join_side(pairs, "a", "ta", [])
+    with_b = _join_side(with_a, "b", "tb", ["ta"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        ta = df["ta"].to_numpy()
+        tb = df["tb"].to_numpy()
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(doc_id: int, text: str) -> np.ndarray:
+            if doc_id not in cache:
+                cache[doc_id] = _shingle_hashes(text, shingle_k)
+            return cache[doc_id]
+
+        keep_a, keep_b, sims = [], [], []
+        for i in range(len(a)):
+            sa, sb = sh(int(a[i]), ta[i]), sh(int(b[i]), tb[i])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                keep_a.append(int(a[i]))
+                keep_b.append(int(b[i]))
+                sims.append(round(j, 6))
+        return pd.DataFrame({"a": np.array(keep_a, dtype=np.int64),
+                             "b": np.array(keep_b, dtype=np.int64),
+                             "jaccard": np.array(sims, dtype=np.float64)})
+
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 _WCC_ENGINE_PAIRS = 5_000_000  # above this, spin the engine up
@@ -106,35 +202,55 @@ def cluster_assignments(docs: rd.Dataset, a: np.ndarray, b: np.ndarray,
     """(doc_id, cluster_id=min doc in component, keep) for the whole
     corpus: connected components over the verified pair graph — the
     min-label fixpoint IS the min-doc cluster id — then a broadcast-label
-    map_batches assignment over the corpus. Small pair sets use the
-    vectorized hooking kernel directly on the driver (the engine's own
-    local-preunion routine); past ``_WCC_ENGINE_PAIRS`` the distributed
-    superstep WCC takes over."""
-    n = int(docs.max(on=id_col)) + 1
-    if len(a) >= _WCC_ENGINE_PAIRS:
-        from ..pipelines.wcc import wcc
-        from ..stages.superstep import PartitionedGraph
-        g = PartitionedGraph.from_arrays(n, a.astype(np.int64),
-                                         b.astype(np.int64))
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        res = wcc(g, num_parts=max(2, min(16, cpus)))
-        df = res.to_pandas()
-        labels = np.arange(n, dtype=np.int64)
-        labels[df["vid"].to_numpy()] = df["label"].to_numpy()
-    elif len(a):
-        from ..pipelines.wcc import _local_min_labels
-        labels = _local_min_labels(n, np.arange(n, dtype=np.int64),
-                                   a.astype(np.int64), b.astype(np.int64))
+    map_batches assignment over the corpus.
+
+    Labels are SPARSE: ids are remapped through ``np.unique`` first, so
+    the driver/broadcast state is O(#ids appearing in pairs) — arbitrary
+    (sparse / hashed / 64-bit) doc ids are fine, and docs outside every
+    pair default to their own cluster with keep=True without appearing
+    in the map. Small pair sets use the vectorized hooking kernel
+    directly on the driver (the engine's own local-preunion routine);
+    past ``_WCC_ENGINE_PAIRS`` the distributed superstep WCC takes
+    over (on the compact id space)."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if len(a):
+        uniq = np.unique(np.concatenate([a, b]))
+        ca = np.searchsorted(uniq, a)
+        cb = np.searchsorted(uniq, b)
+        m = len(uniq)
+        if len(a) >= _WCC_ENGINE_PAIRS:
+            from ..pipelines.wcc import wcc
+            from ..stages.superstep import PartitionedGraph
+            g = PartitionedGraph.from_arrays(m, ca, cb)
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            res = wcc(g, num_parts=max(2, min(16, cpus)))
+            df = res.to_pandas()
+            labels = np.arange(m, dtype=np.int64)
+            labels[df["vid"].to_numpy()] = df["label"].to_numpy()
+        else:
+            from ..pipelines.wcc import _local_min_labels
+            labels = _local_min_labels(m, np.arange(m, dtype=np.int64),
+                                       ca, cb)
+        # min compact id in a component ↔ min original id (uniq sorted)
+        cluster_of = uniq[labels]
     else:
-        labels = np.arange(n, dtype=np.int64)
-    labels_ref = ray.put(labels)
+        uniq = np.empty(0, np.int64)
+        cluster_of = np.empty(0, np.int64)
+    map_ref = ray.put((uniq, cluster_of))
 
     def assign(t: pa.Table) -> pa.Table:
-        lab = ray.get(labels_ref)
+        u, cl = ray.get(map_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        cl = lab[ids]
-        return pa.table({id_col: pa.array(ids), "cluster_id": pa.array(cl),
-                         "keep": pa.array(ids == cl)})
+        if len(u):
+            pos = np.minimum(np.searchsorted(u, ids), len(u) - 1)
+            hit = u[pos] == ids
+            out_cl = np.where(hit, cl[pos], ids)
+        else:
+            out_cl = ids
+        return pa.table({id_col: pa.array(ids),
+                         "cluster_id": pa.array(out_cl),
+                         "keep": pa.array(ids == out_cl)})
 
     return docs.select_columns([id_col]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True)
@@ -345,23 +461,15 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8,
     (s₅₀ ≈ 0.5 — recall for looser duplicates)."""
     if bands is None:
         bands = 8 if threshold >= 0.75 else 16
-    # no global distinct: cross-band duplicate pairs re-verify cheaply
-    # (per-batch drop_duplicates + shingle cache) and union-find ignores
-    # duplicate edges — cheaper than another full shuffle
-    cand = minhash_pair_stream(docs, num_perm, bands,
-                               shingle_k).materialize()
-    cand_df = cand.to_pandas()   # candidate PAIRS only — small
-    ids_needed = (np.unique(np.concatenate([
-        cand_df["a"].to_numpy(np.int64), cand_df["b"].to_numpy(np.int64)]))
-        if len(cand_df) else np.empty(0, np.int64))
-    texts = _candidate_texts(docs, ids_needed, "doc_id", "text")
-    if len(cand_df):
-        verified = verify_jaccard_ds(cand, texts, shingle_k,
-                                     threshold).to_pandas()
-    else:
-        verified = pd.DataFrame()
+    # global distinct before the verification join: cross-band duplicate
+    # pairs would otherwise ship their texts once per band
+    cand = minhash_candidates(docs, num_perm, bands,
+                              shingle_k).materialize()
+    verified = verify_jaccard_join(cand, docs, "doc_id", "text",
+                                   shingle_k, threshold).to_pandas()
     if "a" not in verified.columns:   # zero surviving pairs → no schema
         verified = pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    # only the VERIFIED pairs (actual near-duplicates) reach the driver
     return cluster_assignments(docs,
                                verified["a"].to_numpy(np.int64),
                                verified["b"].to_numpy(np.int64))

@@ -186,3 +186,23 @@ def test_multimodal_strict_raises(ray_session):
     if ex.decoder is None:
         with pytest.raises(NotImplementedError):
             ex(multimodal.synthesize_binary_items(2))
+
+
+def test_cluster_assignments_sparse_ids(ray_session):
+    """Arbitrary (sparse / 64-bit) doc ids: the label map is O(#paired
+    ids), never O(max id) — huge ids must not allocate huge arrays."""
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.dedup import cluster_assignments
+    big = 10**15
+    ids = np.array([5, 42, big, big + 7, big + 9], dtype=np.int64)
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": ids}))
+    out = cluster_assignments(
+        docs,
+        np.array([5, big + 7], dtype=np.int64),
+        np.array([big, big + 9], dtype=np.int64)).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[5, "cluster_id"] == 5 and bool(out.loc[5, "keep"])
+    assert out.loc[big, "cluster_id"] == 5 and not bool(out.loc[big, "keep"])
+    assert out.loc[big + 9, "cluster_id"] == big + 7
+    assert out.loc[42, "cluster_id"] == 42 and bool(out.loc[42, "keep"])
