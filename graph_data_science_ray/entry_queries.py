@@ -663,6 +663,10 @@ def q_scc(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
     okeys = orders["o_orderkey"].to_numpy(np.int64)
     ocust = orders["o_custkey"].to_numpy(np.int64)
+    # supplier keys live below the offset, customer vids above — a
+    # collision would silently corrupt the packed vid space
+    assert int(_suppkeys(sf_dir).max()) < _CUST_VID_OFFSET, \
+        "supplier keys overflow the packed vid offset; raise _CUST_VID_OFFSET"
     order_sorted = np.argsort(okeys)
     okeys, ocust = okeys[order_sorted], ocust[order_sorted]
     omap_ref = ray.put((okeys, ocust))
@@ -864,6 +868,10 @@ def _customer_nation_graph(sf_dir: str):
     def to_edges(t: pa.Table) -> pa.Table:
         ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # customer keys below the offset, nation vids above — guard the
+        # packed vid space (c_custkey exceeds 200000 at TPC-H sf ≳ 1.34)
+        assert ck.max(initial=0) < _CUST_VID_OFFSET, \
+            "customer keys overflow the packed vid offset; raise _CUST_VID_OFFSET"
         return pa.table({"src": ck, "dst": nk + _CUST_VID_OFFSET})
 
     edges = cust.map_batches(to_edges, batch_format="pyarrow",
@@ -1025,9 +1033,16 @@ def q_ann_topk(sf_dir: str):
 def q_knn(sf_dir: str):
     """Exact KNN (top-5 cosine neighbors per vector, self excluded) —
     the brute-force baseline of gds.knn; NN-descent is the approximate
-    scale path (SURVEY §2.5)."""
+    scale path (SURVEY §2.5). O(N²) by construction, so the full-table
+    query matrix is size-gated — past the gate this oracle baseline is
+    meaningless anyway and knn_descent is the answer."""
     from .functions.ann import brute_force_topk
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_vecs = emb.count()
+    if n_vecs > 200_000:
+        raise ValueError(
+            f"exact KNN is the small-scale oracle baseline (N={n_vecs}); "
+            "use knn_descent for large inputs")
     head = emb.to_pandas().sort_values("vec_id")
     ids_sorted = head["vec_id"].to_numpy(np.int64)
     queries = np.array([np.asarray(v, dtype=np.float64)

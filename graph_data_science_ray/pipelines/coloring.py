@@ -100,6 +100,7 @@ def k1_coloring(
             oriented_ds, tempfile.mkdtemp(prefix="gds_k1_oriented_"),
             graph.n, graph.num_parts_layout,
             lineage={"source": graph.path, "derivation": "k1_oriented"})
+        oriented.owns_dir = True
     prog = K1ColoringProgram()
     prog.flow = "out"  # low-id → high-id constraint flow only
     eng = engine or SuperstepEngine(oriented, num_parts=num_parts)
@@ -109,3 +110,4 @@ def k1_coloring(
     finally:
         if engine is None:
             eng.shutdown()
+        oriented.cleanup()

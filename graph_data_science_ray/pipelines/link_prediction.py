@@ -160,21 +160,25 @@ def train_link_prediction(
     tdir = tempfile.mkdtemp(prefix="gds_lp_train_graph_")
     tg = build_int_graph(train_edges, tdir, graph.n,
                          graph.num_parts_layout or 8, symmetrize=True)
-    emb_df = fastrp(tg, dim=dim, iteration_weights=[0.0, 1.0, 1.0],
-                    seed=seed)
-    emb = np.zeros((graph.n, dim))
-    emb[emb_df["vid"].to_numpy()] = np.stack(emb_df["emb"].to_numpy())
+    tg.owns_dir = True
+    try:
+        emb_df = fastrp(tg, dim=dim, iteration_weights=[0.0, 1.0, 1.0],
+                        seed=seed)
+        emb = np.zeros((graph.n, dim))
+        emb[emb_df["vid"].to_numpy()] = np.stack(emb_df["emb"].to_numpy())
 
-    # train positives (kept edges) + matching negatives come from a
-    # second split pass over the TRAIN graph
-    _, train_pairs = split_relationships(tg, holdout_fraction=0.5,
-                                         seed=seed + 1)
-    feats_train = link_features(train_pairs, emb, feature)
-    w = train_logistic_regression(feats_train, epochs=epochs)
-    scored = predict_scores(link_features(test_pairs, emb, feature),
-                            w).to_pandas()
-    return {"weights": w, "test_auc": auc_score(scored),
-            "feature": feature, "dim": dim}
+        # train positives (kept edges) + matching negatives come from a
+        # second split pass over the TRAIN graph
+        _, train_pairs = split_relationships(tg, holdout_fraction=0.5,
+                                             seed=seed + 1)
+        feats_train = link_features(train_pairs, emb, feature)
+        w = train_logistic_regression(feats_train, epochs=epochs)
+        scored = predict_scores(link_features(test_pairs, emb, feature),
+                                w).to_pandas()
+        return {"weights": w, "test_auc": auc_score(scored),
+                "feature": feature, "dim": dim}
+    finally:
+        tg.cleanup()
 
 
 class ModelCatalog:

@@ -67,7 +67,12 @@ def filter_graph(
     filtered = edges.map_batches(kernel, batch_format="pyarrow",
                                  zero_copy_batch=True)
     out = out_dir or tempfile.mkdtemp(prefix="gds_filtered_graph_")
-    return build_int_graph(
+    g = build_int_graph(
         filtered, out, graph.n, graph.num_parts_layout,
         weight_col="weight" if graph.weighted else None, dedup=False,
         lineage={"source": graph.path, "derivation": "filter_graph"})
+    # a fresh temp re-layout is owned by the handle: callers (or their
+    # finally blocks) release it via g.cleanup() instead of leaking
+    # O(E) parquet under /tmp per filtered run
+    g.owns_dir = out_dir is None
+    return g

@@ -124,12 +124,14 @@ def wcc(
 ) -> SuperstepResult:
     """Run WCC; result state has columns (vid, label). threshold keeps
     only edges with weight > threshold (requires a weighted graph)."""
+    filtered = None
     if threshold is not None:
         if not graph.weighted:
             raise ValueError("threshold requires a weighted graph")
         from .subgraph import filter_graph
-        graph = filter_graph(
+        filtered = filter_graph(
             graph, edge_predicate=lambda s, d, w: w > threshold)
+        graph = filtered
         engine = None  # filtered view needs its own block layout
     eng = engine or SuperstepEngine(graph, num_parts=num_parts)
     prog = WCCProgram(seeds=seeds)
@@ -139,3 +141,5 @@ def wcc(
     finally:
         if engine is None:
             eng.shutdown()
+        if filtered is not None:
+            filtered.cleanup()

@@ -76,6 +76,15 @@ class PartitionedGraph:
     weight: np.ndarray | None = None
     path: str | None = None        # parquet kind: graph dir (see sources.graph_build)
     num_parts_layout: int | None = None  # parquet kind: partition count on disk
+    owns_dir: bool = False         # True when `path` is a temp re-layout
+                                   # this handle is responsible for
+
+    def cleanup(self) -> None:
+        """Remove an owned temp graph dir (filter_graph / train-graph
+        re-layouts); no-op for catalog/cached graphs and arrays."""
+        import shutil
+        if self.owns_dir and self.path and os.path.isdir(self.path):
+            shutil.rmtree(self.path, ignore_errors=True)
 
     @staticmethod
     def from_arrays(n, src, dst, weight=None) -> "PartitionedGraph":
