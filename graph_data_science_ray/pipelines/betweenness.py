@@ -1,19 +1,30 @@
-"""Betweenness centrality — Brandes forward/backward passes as supersteps
-(algo/src/main/java/org/neo4j/gds/betweenness/BetweennessCentrality.java:
-50-211, SelectionStrategy.java for source sampling).
+"""Betweenness centrality — batched Brandes forward/backward passes as
+supersteps (algo/src/main/java/org/neo4j/gds/betweenness/
+BetweennessCentrality.java:50-211, SelectionStrategy.java for source
+sampling).
 
-Per source s:
-  forward  — BFS levels with a SUM reducer: a vertex first reached at
-             level d gets σ(v) = Σ σ(u) over its level-(d-1)
-             predecessors (path counts), since all messages of one
-             superstep come from the previous frontier.
-  backward — levels processed deepest-first: level-ℓ vertices send
-             (1+δ(w))/σ(w) along REVERSE edges; receivers at level ℓ-1
-             accumulate δ(u) += σ(u) · Σ messages (receivers know their
-             own level, so a same-level or deeper sender's message is
-             simply ignored — but by construction only level-ℓ vertices
-             send in that superstep).
-  betweenness(v) += δ(v) for v ≠ s.
+Up to `batch_size` (≤62) sources run per engine-run PAIR, one message
+vector component per source (the MSBFSDistProgram pattern, but with
+float path-count lanes instead of visit bits — Brandes needs σ, not
+just reachability):
+
+  forward  — BFS levels with a SUM reducer per lane: a vertex first
+             reached in lane j at level d gets σ_j(v) = Σ σ_j(u) over
+             its level-(d-1) predecessors; "first reached" is detected
+             by msgs[:, j] > 0 (path counts are ≥1, so a zero lane
+             means no message), so one send_mask covers all lanes with
+             non-frontier lanes zeroed in send_value.
+  backward — lanes processed deepest-first, each aligned to its own
+             max level: lane j's level-ℓ vertices send
+             (1+δ_j(w))/σ_j(w) along REVERSE edges in superstep
+             it = max_level_j - ℓ; receivers at level ℓ-1 accumulate
+             δ_j(u) += σ_j(u) · Σ messages. Zero lanes are harmless
+             (add 0).
+  betweenness(v) += Σ_j δ_j(v), v ≠ s_j.
+
+Forward state (dist/sigma, [n, k]) moves to the backward program via a
+single ray.put — one plasma copy, fetched zero-copy per node — the same
+per-source broadcast the reference's per-thread Brandes tasks imply.
 
 Sampled approximation: pass `sources` (the reference's samplingSize
 random-source strategy); full exact = all vertices.
@@ -23,77 +34,96 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 
 from ..stages.superstep import PartitionedGraph, SuperstepEngine
 from ..stages.vertex_program import SUM, StepOutput, VertexProgram, WorkerContext
 
+_MAX_BATCH = 62  # lanes per run; bounds msg width (n_local × 62 × 8B)
 
-class _ForwardProgram(VertexProgram):
+
+def _stack(df: pd.DataFrame, col: str, n: int, k: int,
+           dtype=np.float64) -> np.ndarray:
+    out = np.zeros((n, k), dtype=dtype)
+    out[df["vid"].to_numpy()] = np.stack(df[col].to_numpy())
+    return out
+
+
+class _ForwardBatchProgram(VertexProgram):
     reducer = SUM
     flow = "out"
     msg_dtype = "float64"
     state_keys = ("dist", "sigma")
 
-    def __init__(self, source_vid: int):
-        self.source_vid = source_vid
+    def __init__(self, source_vids: np.ndarray):
+        self.source_vids = np.asarray(source_vids, dtype=np.int64)
+        self.msg_dim = int(len(self.source_vids))
 
     def init_state(self, ctx: WorkerContext) -> dict[str, np.ndarray]:
-        dist = np.full(ctx.n_local, -1, dtype=np.int64)
-        sigma = np.zeros(ctx.n_local)
-        src_local = ctx.global_ids() == self.source_vid
-        dist[src_local] = 0
-        sigma[src_local] = 1.0
+        k = self.msg_dim
+        dist = np.full((ctx.n_local, k), -1, dtype=np.int64)
+        sigma = np.zeros((ctx.n_local, k))
+        gids = ctx.global_ids()
+        for j, s in enumerate(self.source_vids):
+            here = gids == s
+            dist[here, j] = 0
+            sigma[here, j] = 1.0
         return {"dist": dist, "sigma": sigma}
 
     def compute(self, ctx, state, msgs, has_msg, active, iteration) -> StepOutput:
         dist, sigma = state["dist"], state["sigma"]
         if iteration == 0:
-            frontier = dist == 0
+            newly = dist == 0
+        elif msgs is None:
+            newly = np.zeros(dist.shape, dtype=bool)
         else:
-            frontier = has_msg & (dist < 0)
-            dist[frontier] = iteration
-            sigma[frontier] = msgs[frontier]
-            state["dist"], state["sigma"] = dist, sigma
-        return StepOutput(send_mask=frontier, send_value=sigma,
+            newly = (msgs > 0) & (dist < 0)
+            dist[newly] = iteration
+            sigma[newly] = msgs[newly]
+        send_value = np.where(newly, sigma, 0.0)
+        return StepOutput(send_mask=newly.any(axis=1), send_value=send_value,
                           halt_mask=active.copy())
 
 
-class _BackwardProgram(VertexProgram):
+class _BackwardBatchProgram(VertexProgram):
     reducer = SUM
     flow = "in"          # messages travel against edge direction
     msg_dtype = "float64"
     state_keys = ("delta",)
 
-    def __init__(self, dist: np.ndarray, sigma: np.ndarray, max_level: int):
-        # per-vid forward results, broadcast inside the pickled program
-        self.dist = dist
-        self.sigma = sigma
-        self.max_level = max_level
+    def __init__(self, fwd_ref, max_levels: np.ndarray):
+        # ObjectRef to (dist [n,k], sigma [n,k]) — one plasma object,
+        # sliced per partition in init_state
+        self.fwd_ref = fwd_ref
+        self.max_levels = np.asarray(max_levels, dtype=np.int64)
+        self.msg_dim = int(len(self.max_levels))
 
     def init_state(self, ctx: WorkerContext) -> dict[str, np.ndarray]:
+        dist, sigma = ray.get(self.fwd_ref)
         gids = ctx.global_ids()
         return {
-            "delta": np.zeros(ctx.n_local),
-            "dist": self.dist[gids],
-            "sigma": self.sigma[gids],
+            "delta": np.zeros((ctx.n_local, self.msg_dim)),
+            "dist": dist[gids],
+            "sigma": sigma[gids],
         }
 
     def compute(self, ctx, state, msgs, has_msg, active, iteration) -> StepOutput:
-        # level-L vertices both RECEIVE (from level L+1's sends last
-        # superstep) and SEND in superstep it = max_level - L, in that
-        # order — delta is complete before it is forwarded.
-        level = self.max_level - iteration
+        # lane j's level-L vertices both RECEIVE (from level L+1's sends
+        # last superstep) and SEND in superstep it = max_levels[j] - L,
+        # in that order — delta is complete before it is forwarded.
+        levels = self.max_levels[None, :] - iteration     # [1, k]
         dist = state["dist"]
         delta = state["delta"]
-        if iteration > 0:
-            upd = has_msg & (dist == level)
-            delta = delta + np.where(upd, state["sigma"] * msgs, 0.0)
+        at_level = dist == levels
+        if iteration > 0 and msgs is not None:
+            delta = delta + np.where(at_level, state["sigma"] * msgs, 0.0)
             state["delta"] = delta
-        send_mask = (dist == level) & (level > 0)
+        send_cols = at_level & (levels > 0)
         with np.errstate(divide="ignore", invalid="ignore"):
-            send_value = np.where(state["sigma"] > 0,
-                                  (1.0 + delta) / state["sigma"], 0.0)
-        return StepOutput(send_mask=send_mask, send_value=send_value,
+            val = np.where(state["sigma"] > 0,
+                           (1.0 + delta) / state["sigma"], 0.0)
+        return StepOutput(send_mask=send_cols.any(axis=1),
+                          send_value=np.where(send_cols, val, 0.0),
                           halt_mask=active.copy())
 
 
@@ -102,32 +132,37 @@ def betweenness(
     sources: np.ndarray | None = None,
     num_parts: int | None = None,
     engine: SuperstepEngine | None = None,
+    batch_size: int = _MAX_BATCH,
 ) -> pd.DataFrame:
     """(vid, score). sources=None → exact (every vertex a source)."""
     n = graph.n
     srcs = (np.arange(n, dtype=np.int64) if sources is None
             else np.asarray(sources, dtype=np.int64))
+    batch_size = max(1, min(batch_size, _MAX_BATCH))
     eng = engine or SuperstepEngine(graph, num_parts=num_parts)
     score = np.zeros(n)
     try:
-        for s in srcs:
-            fwd = eng.run(_ForwardProgram(int(s)), max_iterations=n + 1,
-                          collect=("dist", "sigma"))
+        for lo in range(0, len(srcs), batch_size):
+            batch = srcs[lo:lo + batch_size]
+            k = len(batch)
+            fwd = eng.run(_ForwardBatchProgram(batch),
+                          max_iterations=n + 1, collect=("dist", "sigma"))
             fdf = fwd.to_pandas()
-            dist = np.full(n, -1, dtype=np.int64)
-            sigma = np.zeros(n)
-            dist[fdf["vid"].to_numpy()] = fdf["dist"].to_numpy()
-            sigma[fdf["vid"].to_numpy()] = fdf["sigma"].to_numpy()
-            max_level = int(dist.max())
-            if max_level <= 0:
+            dist = np.full((n, k), -1, dtype=np.int64)
+            dist[fdf["vid"].to_numpy()] = np.stack(fdf["dist"].to_numpy())
+            sigma = _stack(fdf, "sigma", n, k)
+            max_levels = dist.max(axis=0)
+            if (max_levels <= 0).all():
                 continue
-            bwd = eng.run(_BackwardProgram(dist, sigma, max_level),
-                          max_iterations=max_level + 1, collect=("delta",))
-            bdf = bwd.to_pandas()
-            delta = np.zeros(n)
-            delta[bdf["vid"].to_numpy()] = bdf["delta"].to_numpy()
-            delta[s] = 0.0
-            score += delta
+            fwd_ref = ray.put((dist, sigma))
+            bwd = eng.run(
+                _BackwardBatchProgram(fwd_ref, np.maximum(max_levels, 0)),
+                max_iterations=int(max_levels.max()) + 1,
+                collect=("delta",))
+            delta = _stack(bwd.to_pandas(), "delta", n, k)
+            delta[batch, np.arange(k)] = 0.0
+            score += delta.sum(axis=1)
+            del fwd_ref
     finally:
         if engine is None:
             eng.shutdown()

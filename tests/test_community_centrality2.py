@@ -67,6 +67,16 @@ def test_betweenness_exact_vs_brandes(ray_session, num_parts):
                        brandes_oracle(50, src, dst), atol=1e-9)
 
 
+def test_betweenness_multi_batch(ray_session):
+    # batch_size < n forces several forward/backward run pairs — the
+    # cross-batch score accumulation must match single-batch exact
+    src, dst = _simple_graph(50, 250, seed=7)
+    g = PartitionedGraph.from_arrays(50, src, dst)
+    got = betweenness(g, num_parts=3, batch_size=7)
+    assert np.allclose(got["score"].to_numpy(),
+                       brandes_oracle(50, src, dst), atol=1e-9)
+
+
 def test_betweenness_sampled_subset(ray_session):
     src, dst = _simple_graph(40, 160, seed=11)
     g = PartitionedGraph.from_arrays(40, src, dst)
