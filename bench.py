@@ -40,6 +40,16 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _warm_page_cache(path: str) -> None:
+    """Read file(s) once so timed runs measure compute, not cold I/O."""
+    paths = ([os.path.join(path, f) for f in sorted(os.listdir(path))]
+             if os.path.isdir(path) else [path])
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,15 +70,14 @@ def run_bench() -> dict:
     from graph_data_science_ray.stages.superstep import SuperstepEngine
 
     os.makedirs(BENCH_DIR, exist_ok=True)
-    repos_path = os.path.join(BENCH_DIR, f"repos_n{n_repos}_s42.parquet")
+    # many files, not one: single-file reads cap derivation parallelism
+    # at the row-group layout (measured flat 8→32 cpus in round 2)
+    repos_path = os.path.join(BENCH_DIR, f"repos_n{n_repos}_s42_sharded")
     if not os.path.exists(repos_path):
         log(f"generating repo table n={n_repos} ...")
-        write_repo_table(repos_path, n_repos, files_per_repo=3,
-                         avg_imports_per_file=5, seed=42)
-    # warm the page cache so we measure compute + shuffle, not cold reads
-    with open(repos_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+        write_repo_table(repos_path, n_repos, num_files=128,
+                         files_per_repo=3, avg_imports_per_file=5, seed=42)
+    _warm_page_cache(repos_path)
 
     detail: dict = {"num_repos": n_repos}
     graph_dir = os.path.join(BENCH_DIR, f"graph_n{n_repos}_P{num_cpus}")
@@ -211,11 +220,11 @@ def run_scaling_child(num_cpus: int) -> dict:
         PartitionedGraph, SuperstepEngine)
 
     os.makedirs(BENCH_DIR, exist_ok=True)
-    repos_path = os.path.join(BENCH_DIR, f"repos_n{n_repos}_s42.parquet")
+    repos_path = os.path.join(BENCH_DIR, f"repos_n{n_repos}_s42_sharded")
     if not os.path.exists(repos_path):
         log(f"generating scaling repo table n={n_repos} ...")
-        write_repo_table(repos_path, n_repos, files_per_repo=3,
-                         avg_imports_per_file=8, seed=42)
+        write_repo_table(repos_path, n_repos, num_files=128,
+                         files_per_repo=3, avg_imports_per_file=8, seed=42)
     graph_dir = os.path.join(BENCH_DIR,
                              f"scaling_graph_synth_v{n_vertices}_P{P}")
     if not os.path.exists(os.path.join(graph_dir, "manifest.json")):
@@ -229,9 +238,7 @@ def run_scaling_child(num_cpus: int) -> dict:
     # CPU-bound phase: edge derivation (regex extraction + sha256)
     import ray.data as rd
     from graph_data_science_ray.sources.edge_derivation import derive_edges
-    with open(repos_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    _warm_page_cache(repos_path)
     # spawn the whole worker-process pool before timing anything
     rd.range(1_000_000, override_num_blocks=4 * num_cpus).map_batches(
         lambda b: b).count()
