@@ -605,7 +605,9 @@ def q_sssp_paths(sf_dir: str):
     from .pipelines.traversal import shortest_path_predecessors
     suppkeys, graph = _co_supply_graph(sf_dir, variant="wsym")
     src = int(suppkeys.min())
-    df = shortest_path_predecessors(graph, src)
+    # delta-stepping bucket schedule (exact; fewer total relaxations
+    # than unbucketed Bellman-Ford rounds on this weighted graph)
+    df = shortest_path_predecessors(graph, src, delta=4.0)
     df = df[df["vid"].isin(suppkeys)]
     dist = df["dist"].to_numpy()
     return pa.table({

@@ -105,15 +105,109 @@ class SSSPProgram(VertexProgram):
                           halt_mask=active.copy())
 
 
+class DeltaSteppingProgram(VertexProgram):
+    """Bucketed SSSP relaxation ≙ paths/delta/DeltaStepping.java.
+
+    The reference processes vertices in distance buckets
+    [i·Δ, (i+1)·Δ): a vertex relaxes its edges only while its bucket is
+    the globally smallest non-empty one, so far vertices never scatter
+    provisional (soon-improved) distances the way plain Bellman-Ford
+    rounds do. Here each bucket phase is one-or-more supersteps with a
+    masterCompute barrier choosing the active window:
+
+      - per-partition master_partial = min distance among *pending*
+        vertices (improved since they last scattered),
+      - master_combine floors the global min onto the Δ grid → the
+        active window [lo, lo+Δ); (inf, inf) once nothing is pending,
+      - compute() scatters dist only for pending vertices inside the
+        window (light-edge re-improvements that land back inside the
+        current window re-pend and re-scatter next superstep, matching
+        the reference's inner light-edge loop).
+
+    Exact at convergence (non-negative weights); total sent_edges is
+    the measured win over SSSPProgram's unbucketed relaxation, which
+    re-scatters every improvement cascade immediately.
+    """
+
+    reducer = MIN
+    msg_dtype = "float64"
+    use_edge_weights = True
+    edge_combine = "add"
+    state_keys = ("dist",)
+    needs_master = True
+
+    def __init__(self, source_vid: int, delta: float = 2.0,
+                 flow: str = "out"):
+        self.source_vid = source_vid
+        self.delta = float(delta)
+        self.flow = flow
+
+    def init_state(self, ctx: WorkerContext) -> dict[str, np.ndarray]:
+        dist = np.full(ctx.n_local, np.inf)
+        dist[ctx.global_ids() == self.source_vid] = 0.0
+        return {"dist": dist, "pending": dist == 0.0}
+
+    def master_combine(self, partials: list):
+        lo = min((p for p in partials if p is not None), default=np.inf)
+        if not np.isfinite(lo):
+            return (np.inf, np.inf)
+        b = np.floor(lo / self.delta)
+        return (b * self.delta, (b + 1.0) * self.delta)
+
+    def apply_master(self, ctx: WorkerContext, state: dict,
+                     master_value) -> bool:
+        # Converge only on TWO consecutive empty windows: apply_master
+        # runs BEFORE compute, so on the first (inf, inf) window the
+        # previous superstep's in-flight messages may still improve
+        # distances in this very superstep (re-pending vertices). Those
+        # produce a finite master_partial and the schedule resumes; if
+        # nothing improves, nothing was scattered either, so the second
+        # empty window is genuinely quiescent.
+        prev_empty = state.get("_win_empty", False)
+        empty = not np.isfinite(master_value[0])
+        state["window"] = master_value
+        state["_win_empty"] = empty
+        return empty and prev_empty
+
+    def compute(self, ctx, state, msgs, has_msg, active, iteration) -> StepOutput:
+        dist = state["dist"]
+        pending = state["pending"]
+        if iteration > 0 and msgs is not None:
+            cand = np.where(has_msg, msgs, np.inf)
+            upd = cand < dist
+            dist = np.where(upd, cand, dist)
+            state["dist"] = dist
+            pending |= upd
+        if iteration == 0:
+            send = pending.copy()          # the source seeds bucket 0
+        else:
+            lo, hi = state.get("window", (0.0, self.delta))
+            send = pending & (dist >= lo) & (dist < hi)
+        pending &= ~send
+        state["pending"] = pending
+        partial = float(dist[pending].min()) if pending.any() else None
+        return StepOutput(send_mask=send, send_value=dist,
+                          master_partial=partial)
+
+
 def sssp(graph: PartitionedGraph, source_vid: int, flow: str = "out",
          num_parts: int | None = None,
-         engine: SuperstepEngine | None = None) -> SuperstepResult:
+         engine: SuperstepEngine | None = None,
+         delta: float | None = None) -> SuperstepResult:
     """(vid, dist) weighted shortest distances; inf = unreachable.
-    Requires non-negative weights (like the reference's Dijkstra)."""
+    Requires non-negative weights (like the reference's Dijkstra).
+
+    delta=None → unbucketed Bellman-Ford rounds (exact, round count =
+    weighted-hop diameter); delta=Δ → the reference's delta-stepping
+    bucket schedule (exact, far vertices scatter only once their
+    bucket is reached — fewer total edge relaxations on weighted
+    graphs at the cost of a master barrier per superstep)."""
     eng = engine or SuperstepEngine(graph, num_parts=num_parts)
+    prog = (SSSPProgram(source_vid, flow) if delta is None
+            else DeltaSteppingProgram(source_vid, delta, flow))
     try:
-        return eng.run(SSSPProgram(source_vid, flow),
-                       max_iterations=graph.n + 1, collect=("dist",))
+        return eng.run(prog, max_iterations=4 * graph.n + 4,
+                       collect=("dist",))
     finally:
         if engine is None:
             eng.shutdown()
@@ -160,6 +254,7 @@ def shortest_path_predecessors(
     flow: str = "out",
     num_parts: int | None = None,
     engine: SuperstepEngine | None = None,
+    delta: float | None = None,
 ) -> pd.DataFrame:
     """(vid, dist, pred) — Dijkstra-with-path-tracking output
     (paths/dijkstra/Dijkstra.java:1-329 predecessor array). Distances
@@ -173,7 +268,7 @@ def shortest_path_predecessors(
 
     from ..stages.shuffle import aggregate_rows
     res = sssp(graph, source_vid, flow=flow, num_parts=num_parts,
-               engine=engine)
+               engine=engine, delta=delta)
     df = res.to_pandas()
     n = graph.n
     dist = np.full(n, np.inf)

@@ -84,6 +84,32 @@ def test_sssp_vs_dijkstra(ray_session, num_parts):
                        dijkstra_oracle(300, src, dst, w, 0), atol=1e-12)
 
 
+@pytest.mark.parametrize("num_parts", [1, 4])
+def test_delta_stepping_vs_dijkstra(ray_session, num_parts):
+    src, dst, w = random_graph(300, 1500, seed=3, weighted=True)
+    g = PartitionedGraph.from_arrays(300, src, dst, w)
+    res = sssp(g, source_vid=0, num_parts=num_parts, delta=float(w.mean()))
+    assert np.allclose(res.to_pandas()["dist"].to_numpy(),
+                       dijkstra_oracle(300, src, dst, w, 0), atol=1e-12)
+
+
+def test_delta_stepping_fewer_relaxations(ray_session):
+    # Heterogeneous weights make Bellman-Ford cascade: far vertices
+    # scatter provisional distances that later improve and re-scatter.
+    # Delta-stepping's bucket schedule holds them back until their
+    # bucket is reached, so total edge relaxations drop.
+    src, dst, w = random_graph(400, 4000, seed=11, weighted=True)
+    w = w ** 3 * 10.0  # spread the weight scale
+    g = PartitionedGraph.from_arrays(400, src, dst, w)
+    bf = sssp(g, source_vid=0, num_parts=2)
+    ds = sssp(g, source_vid=0, num_parts=2, delta=float(np.median(w)) * 4)
+    assert np.allclose(bf.to_pandas()["dist"].to_numpy(),
+                       ds.to_pandas()["dist"].to_numpy(), atol=1e-12)
+    bf_sends = sum(m["sent_edges"] for m in bf.metrics)
+    ds_sends = sum(m["sent_edges"] for m in ds.metrics)
+    assert ds_sends < bf_sends, (ds_sends, bf_sends)
+
+
 def test_closeness_harmonic_vs_brute(ray_session):
     src, dst, _ = random_graph(60, 250, seed=8)
     g = PartitionedGraph.from_arrays(60, src, dst)
