@@ -649,6 +649,29 @@ def q_modularity_by_nation(sf_dir: str):
     })
 
 
+def q_modularity_optimization(sf_dir: str):
+    """Standalone color-constrained modularity optimization
+    (gds.beta.modularityOptimization) on the customer–nation bipartite
+    graph (rows-only: the color-phase schedule is iterative and not
+    SQL-expressible; exactness vs the NumPy schedule replica is
+    pytest-gated)."""
+    from .pipelines.louvain import modularity_optimization
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    nkeys = cust["c_nationkey"].to_numpy(np.int64)
+    offset = int(ckeys.max()) + 1
+    g = PartitionedGraph.from_arrays(offset + int(nkeys.max()) + 1,
+                                     ckeys, nkeys + offset)
+    df, stats = modularity_optimization(g, max_sweeps=5)
+    df = df[df["vid"].isin(ckeys)]
+    return pa.table({
+        "c_custkey": df["vid"].to_numpy(np.int64),
+        "community": df["community"].to_numpy(np.int64),
+        "modularity": np.round(
+            np.full(len(df), stats["modularity"]), _ROUND),
+    })
+
+
 _CUST_VID_OFFSET = 200000
 
 
@@ -1741,6 +1764,7 @@ _ALL_QUERIES = {
     "sssp_paths": q_sssp_paths,
     "conductance": q_conductance,
     "modularity_by_nation": q_modularity_by_nation,
+    "modularity_optimization": q_modularity_optimization,
     "scc": q_scc,
     "dfs": q_dfs,
     "graph_list": q_graph_list,

@@ -204,6 +204,131 @@ class LouvainLocalMoveProgram:
         return len(h) > self.max_sweeps * self.waves
 
 
+class ModularityOptimizationProgram(LouvainLocalMoveProgram):
+    """Standalone color-constrained modularity optimization ≙
+    beta/modularity/ModularityOptimization.java (gds.beta.
+    modularityOptimization): a K1 coloring schedules the parallel
+    moves — all vertices of one color class apply their best-gain
+    community move simultaneously (no two adjacent vertices move in
+    the same phase, so the classic parallel-move oscillation cannot
+    occur); one sweep = one pass over every color class. Identical
+    gain formula and volume bookkeeping as the Louvain local-moving
+    program; only the wave schedule differs (color classes instead of
+    vid windows). Supports seed communities (the reference's
+    seedProperty). Converges when a full color sweep moves nothing
+    (the reference's tolerance=0 behavior) or after max_sweeps."""
+
+    def __init__(self, n: int, two_m: float, colors: np.ndarray,
+                 num_colors: int, seeds: np.ndarray | None = None,
+                 max_sweeps: int = 10):
+        super().__init__(n, two_m, waves=1, max_sweeps=max_sweeps)
+        self.waves = max(1, int(num_colors))
+        self.colors = colors
+        self.seeds = seeds
+
+    def init_state(self, ctx) -> dict[str, np.ndarray]:
+        st = super().init_state(ctx)
+        gids = ctx.global_ids()
+        if self.seeds is not None:
+            st["label"] = np.asarray(self.seeds,
+                                     dtype=np.int64)[gids].copy()
+        st["color"] = np.asarray(self.colors, dtype=np.int64)[gids]
+        return st
+
+    def compute(self, ctx, state, msgs, has_msg, active, iteration):
+        from ..stages.vertex_program import StepOutput
+        label = state["label"]
+        changed = 0
+        if iteration > 0 and msgs is not None:
+            wave_color = (iteration - 1) % self.waves
+            upd = has_msg & (state["color"] == wave_color)
+            new_label = np.where(upd, msgs, label)
+            changed = int((new_label != label).sum())
+            state["label"] = new_label
+            label = new_label
+        ulbl, inv = np.unique(label, return_inverse=True)
+        vols = np.bincount(inv, weights=state["deg"])
+        return StepOutput(
+            send_mask=np.ones(ctx.n_local, dtype=bool),
+            send_value=label,
+            changed=changed,
+            master_partial=(ulbl, vols, changed),
+        )
+
+
+def modularity_optimization(
+    graph: PartitionedGraph,
+    max_sweeps: int = 10,
+    seeds: np.ndarray | None = None,
+    num_parts: int | None = None,
+    colors: np.ndarray | None = None,
+) -> tuple[pd.DataFrame, dict]:
+    """gds.beta.modularityOptimization: one color-constrained
+    local-moving phase (no contraction — that is Louvain's addition).
+    Returns ((vid, community) with min-vid representative ids, stats
+    {"modularity", "ran_sweeps", "num_colors"}). colors overrides the
+    K1 schedule (tests / precomputed colorings)."""
+    from ..stages.superstep import SuperstepEngine
+    from .coloring import k1_coloring
+    from .community_metrics import modularity_by_community
+    n = graph.n
+    if colors is None:
+        cdf = k1_coloring(graph, num_parts=num_parts).to_pandas()
+        colors = np.zeros(n, dtype=np.int64)
+        colors[cdf["vid"].to_numpy()] = cdf["color"].to_numpy()
+    num_colors = int(colors.max()) + 1 if n else 1
+    # seed values are arbitrary int64 (the reference's seedProperty);
+    # the volume bookkeeping indexes a length-n array by label, so run
+    # on dense codes and translate back afterwards
+    seed_values = None
+    if seeds is not None:
+        seed_values, seed_codes = np.unique(
+            np.asarray(seeds, dtype=np.int64), return_inverse=True)
+        seeds = seed_codes.astype(np.int64)
+    if graph.kind == "arrays":
+        w_sum = (float(len(graph.src)) if graph.weight is None
+                 else float(graph.weight.sum()))
+    elif graph.weighted:
+        w_sum = float(graph.edges_dataset(("weight",), flow="out")
+                      .sum(on="weight") or 0.0)
+    else:
+        w_sum = float(graph.num_edges)
+    two_m = 2.0 * w_sum
+    if two_m == 0:
+        labels = np.arange(n, dtype=np.int64)
+        ran = 0
+    else:
+        prog = ModularityOptimizationProgram(
+            n, two_m, colors, num_colors, seeds=seeds,
+            max_sweeps=max_sweeps)
+        eng = SuperstepEngine(graph, num_parts=num_parts)
+        try:
+            res = eng.run(prog, max_iterations=max_sweeps * num_colors + 2,
+                          collect=("label",))
+        finally:
+            eng.shutdown()
+        df = res.to_pandas()
+        labels = np.arange(n, dtype=np.int64)
+        labels[df["vid"].to_numpy()] = df["label"].to_numpy()
+        ran = -(-res.ran_iterations // num_colors)
+    if seed_values is not None:
+        # surviving labels are still dense seed codes: report the
+        # user's original seed community ids (reference behavior)
+        community = seed_values[labels]
+        q = float(modularity_by_community(graph, labels)[
+            "modularity"].sum())
+    else:
+        _, first_idx, inv = np.unique(labels, return_index=True,
+                                      return_inverse=True)
+        community = first_idx[inv].astype(np.int64)
+        q = float(modularity_by_community(graph, community)[
+            "modularity"].sum())
+    out = pd.DataFrame({"vid": np.arange(n, dtype=np.int64),
+                        "community": community})
+    return out, {"modularity": q, "ran_sweeps": int(ran),
+                 "num_colors": num_colors}
+
+
 def louvain_distributed_level(
     graph: PartitionedGraph,
     waves: int | None = None,
