@@ -1,0 +1,480 @@
+"""Configurable ML training pipelines + random-forest trainer —
+parity with the reference's pipeline orchestration
+(pipeline/src/main/java/org/neo4j/gds/ml/pipeline/Pipeline.java,
+NodePropertyStep.java: arbitrary `addNodeProperty` mutate steps feed
+the feature space) and its RandomForest trainer
+(ml/ml-algo/src/main/java/org/neo4j/gds/ml/models/randomforest/
+RandomForestClassifierTrainer.java: bootstrapped per-tree samples,
+gini CART, majority/probability vote).
+
+Ray-Data shape:
+  - node-property steps are the existing distributed algorithms; each
+    contributes one or more float columns to a per-vid feature matrix
+    (assembled once, broadcast via ray.put for the training passes);
+  - random-forest training replicates each feature row to the trees
+    that sample it (deterministic hash subsampling ≙ bootstrap) inside
+    ONE map_batches pass, then trains every tree independently in a
+    groupby(tree).map_groups — T small in-memory CART fits running in
+    parallel, no driver-side training data;
+  - prediction broadcasts the (tiny) forest and traverses all trees
+    vectorized per batch.
+
+At 100 TB the shuffle volume for forest training is
+trees × sample_frac × |rows|; size sample_frac so per-tree samples are
+bounded (the reference trains each tree single-heap too — its
+numberOfSamplesRatio plays the same role).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..stages.superstep import PartitionedGraph
+
+
+# --------------------------------------------------------------------------
+# Node property steps (≙ NodePropertyStep: any mutate-mode algorithm)
+
+def _step_degree(graph: PartitionedGraph, **cfg) -> np.ndarray:
+    from .degree import degree_centrality
+    df = degree_centrality(graph, orientation=cfg.get("orientation",
+                                                      "undirected"),
+                           weighted=cfg.get("weighted", False))
+    out = np.zeros(graph.n)
+    out[df["vid"].to_numpy()] = df["score"].to_numpy()
+    return out
+
+
+def _step_pagerank(graph: PartitionedGraph, **cfg) -> np.ndarray:
+    from .pagerank import pagerank
+    res = pagerank(graph, damping=cfg.get("damping", 0.85),
+                   max_iterations=cfg.get("max_iterations", 20))
+    df = res.to_pandas()
+    out = np.zeros(graph.n)
+    out[df["vid"].to_numpy()] = df["rank"].to_numpy()
+    return out
+
+
+def _step_fastrp(graph: PartitionedGraph, **cfg) -> np.ndarray:
+    from .fastrp import fastrp
+    dim = cfg.get("dim", 32)
+    df = fastrp(graph, dim=dim,
+                iteration_weights=cfg.get("iteration_weights"),
+                seed=cfg.get("seed", 42))
+    out = np.zeros((graph.n, dim))
+    out[df["vid"].to_numpy()] = np.stack(df["emb"].to_numpy())
+    return out
+
+
+def _step_wcc(graph: PartitionedGraph, **cfg) -> np.ndarray:
+    from .wcc import wcc
+    df = wcc(graph).to_pandas()
+    out = np.zeros(graph.n)
+    out[df["vid"].to_numpy()] = df["label"].to_numpy().astype(np.float64)
+    return out
+
+
+def _step_louvain(graph: PartitionedGraph, **cfg) -> np.ndarray:
+    from .louvain import louvain
+    df, _ = louvain(graph, max_levels=cfg.get("max_levels", 3))
+    out = np.zeros(graph.n)
+    out[df["vid"].to_numpy()] = df["community"].to_numpy().astype(np.float64)
+    return out
+
+
+NODE_PROPERTY_STEPS = {
+    "degree": _step_degree,
+    "pageRank": _step_pagerank,
+    "fastRP": _step_fastrp,
+    "wcc": _step_wcc,
+    "louvain": _step_louvain,
+}
+
+
+def compute_node_properties(graph: PartitionedGraph,
+                            steps: list[tuple[str, dict]]) -> np.ndarray:
+    """Run each configured step; concatenate into one [n, D] matrix."""
+    cols = []
+    for name, cfg in steps:
+        if name not in NODE_PROPERTY_STEPS:
+            raise ValueError(
+                f"unknown node property step {name!r}; "
+                f"available: {sorted(NODE_PROPERTY_STEPS)}")
+        arr = NODE_PROPERTY_STEPS[name](graph, **cfg)
+        cols.append(arr[:, None] if arr.ndim == 1 else arr)
+    if not cols:
+        raise ValueError("pipeline has no node property steps")
+    return np.ascontiguousarray(np.concatenate(cols, axis=1))
+
+
+# --------------------------------------------------------------------------
+# Random forest (gini CART, vectorized over sorted feature order)
+
+def _fit_tree(X: np.ndarray, y: np.ndarray, k: int, max_depth: int,
+              min_split: int, feature_frac: float,
+              rng: np.random.Generator) -> dict:
+    """Array-of-nodes CART: feat[i] == -1 → leaf with class
+    distribution proba[i]; else split on (feat[i], thr[i])."""
+    feat: list[int] = []
+    thr: list[float] = []
+    left: list[int] = []
+    right: list[int] = []
+    proba: list[np.ndarray] = []
+    d = X.shape[1]
+    n_sub = max(1, int(np.ceil(feature_frac * d)))
+    eye = np.eye(k)
+
+    def build(idx: np.ndarray, depth: int) -> int:
+        node = len(feat)
+        feat.append(-1)
+        thr.append(0.0)
+        left.append(-1)
+        right.append(-1)
+        counts = np.bincount(y[idx], minlength=k).astype(np.float64)
+        proba.append(counts / counts.sum())
+        if (depth >= max_depth or len(idx) < min_split
+                or counts.max() == counts.sum()):
+            return node
+        best_f, best_t, best_score = -1, 0.0, np.inf
+        m = len(idx)
+        for f in rng.choice(d, size=n_sub, replace=False):
+            xv = X[idx, f]
+            order = np.argsort(xv, kind="stable")
+            xs = xv[order]
+            cum = np.cumsum(eye[y[idx][order]], axis=0)       # [m, k]
+            cand = np.unique(xs[np.linspace(0, m - 1, 17,
+                                            dtype=np.int64)])[:-1]
+            if len(cand) == 0:
+                continue
+            pos = np.searchsorted(xs, cand, side="right")
+            ok = (pos > 0) & (pos < m)
+            if not ok.any():
+                continue
+            pos, cand_ok = pos[ok], cand[ok]
+            lc = cum[pos - 1]                                  # [q, k]
+            rc = cum[-1] - lc
+            ls = pos.astype(np.float64)
+            rs = m - ls
+            gini = ((1.0 - ((lc / ls[:, None]) ** 2).sum(1)) * ls
+                    + (1.0 - ((rc / rs[:, None]) ** 2).sum(1)) * rs) / m
+            j = int(np.argmin(gini))
+            if gini[j] < best_score:
+                best_score, best_f, best_t = float(gini[j]), int(f), \
+                    float(cand_ok[j])
+        if best_f < 0:
+            return node
+        mask = X[idx, best_f] <= best_t
+        if not mask.any() or mask.all():
+            return node
+        feat[node], thr[node] = best_f, best_t
+        left[node] = build(idx[mask], depth + 1)
+        right[node] = build(idx[~mask], depth + 1)
+        return node
+
+    build(np.arange(len(y)), 0)
+    return {"feat": np.array(feat, dtype=np.int64),
+            "thr": np.array(thr),
+            "left": np.array(left, dtype=np.int64),
+            "right": np.array(right, dtype=np.int64),
+            "proba": np.stack(proba)}
+
+
+def _tree_proba(tree: dict, X: np.ndarray) -> np.ndarray:
+    """Vectorized traversal: chase node pointers level by level."""
+    node = np.zeros(len(X), dtype=np.int64)
+    feat, thr = tree["feat"], tree["thr"]
+    left, right = tree["left"], tree["right"]
+    while True:
+        f = feat[node]
+        inner = f >= 0
+        if not inner.any():
+            break
+        i = np.flatnonzero(inner)
+        goes_left = X[i, f[i]] <= thr[node[i]]
+        node[i] = np.where(goes_left, left[node[i]], right[node[i]])
+    return tree["proba"][node]
+
+
+def _hash_keep(row_ids: np.ndarray, tree: int, seed: int,
+               frac: float) -> np.ndarray:
+    x = row_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    x += np.uint64(seed * 1_000_003 + tree)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53) < frac
+
+
+def train_random_forest(
+    features: rd.Dataset,
+    num_classes: int,
+    trees: int = 10,
+    max_depth: int = 8,
+    min_split: int = 4,
+    feature_frac: float = 1.0,
+    sample_frac: float = 0.7,
+    seed: int = 42,
+) -> list[dict]:
+    """features: Dataset with FixedSizeList column `f`, int column `y`,
+    and int column `row` (unique row id for deterministic sampling).
+    Replicate rows to their sampled trees in one pass, fit each tree
+    in a map_groups — the per-tree sample is the only co-resident
+    data."""
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        col = t["f"]
+        if hasattr(col, "combine_chunks"):
+            col = col.combine_chunks()
+        d = col.type.list_size
+        X = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        row = t["row"].to_numpy(zero_copy_only=False)
+        outs = []
+        for tree in range(trees):
+            keep = _hash_keep(row, tree, seed, sample_frac)
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "tree": np.full(int(keep.sum()), tree, dtype=np.int64),
+                    "f": list(X[keep]),
+                    "y": y[keep]}))
+        if not outs:
+            return pd.DataFrame({"tree": pd.Series([], dtype=np.int64),
+                                 "f": [], "y": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    def fit_group(g: pd.DataFrame) -> pd.DataFrame:
+        tree_id = int(g["tree"].iloc[0])
+        X = np.stack(g["f"].to_numpy())
+        y = g["y"].to_numpy().astype(np.int64)
+        rng = np.random.default_rng(seed * 7919 + tree_id)
+        tree = _fit_tree(X, y, num_classes, max_depth, min_split,
+                         feature_frac, rng)
+        return pd.DataFrame({"tree": [tree_id],
+                             "blob": [pickle.dumps(tree)]})
+
+    fitted = (features
+              .map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("tree")
+              .map_groups(fit_group)
+              .to_pandas())
+    return [pickle.loads(b) for b in
+            fitted.sort_values("tree")["blob"].to_numpy()]
+
+
+def forest_predict_proba(forest: list[dict], X: np.ndarray) -> np.ndarray:
+    p = np.zeros((len(X), forest[0]["proba"].shape[1]))
+    for tree in forest:
+        p += _tree_proba(tree, X)
+    return p / len(forest)
+
+
+# --------------------------------------------------------------------------
+# Pipeline orchestration (≙ Pipeline.java / *TrainingPipeline)
+
+class TrainingPipeline:
+    """addNodeProperty/selectFeatures surface shared by the NC and LP
+    pipelines. Trainer method is chosen at train() time:
+    'logisticRegression' (the round-2 GD trainers) or 'randomForest'."""
+
+    def __init__(self):
+        self.node_property_steps: list[tuple[str, dict]] = []
+
+    def add_node_property(self, name: str, **config) -> "TrainingPipeline":
+        if name not in NODE_PROPERTY_STEPS:
+            raise ValueError(
+                f"unknown node property step {name!r}; "
+                f"available: {sorted(NODE_PROPERTY_STEPS)}")
+        self.node_property_steps.append((name, config))
+        return self
+
+
+class NodeClassificationPipeline(TrainingPipeline):
+    def train(
+        self,
+        graph: PartitionedGraph,
+        labels: np.ndarray,
+        label_mask: np.ndarray | None = None,
+        method: str = "logisticRegression",
+        holdout_fraction: float = 0.3,
+        seed: int = 42,
+        **trainer_cfg,
+    ) -> dict:
+        """Returns {model, classes, test_accuracy, method, steps}."""
+        from .node_classification import _hash_u01, _softmax
+        n = graph.n
+        if label_mask is None:
+            label_mask = np.ones(n, dtype=bool)
+        F = compute_node_properties(graph, self.node_property_steps)
+        vids = np.flatnonzero(label_mask)
+        classes, y_all = np.unique(labels[vids], return_inverse=True)
+        k = len(classes)
+        test = _hash_u01(vids, seed + 99) < holdout_fraction
+        f_ref = ray.put(F)
+        ds = rd.from_arrow(pa.table({
+            "vid": vids, "y": y_all.astype(np.int64), "test": test}))
+
+        if method == "randomForest":
+            def featurize(t: pa.Table) -> pa.Table:
+                Fl = ray.get(f_ref)
+                m = ~t["test"].to_numpy(zero_copy_only=False)
+                v = t["vid"].to_numpy(zero_copy_only=False)[m]
+                X = Fl[v]
+                return pa.table({
+                    "f": pa.FixedSizeListArray.from_arrays(
+                        pa.array(X.reshape(-1)), X.shape[1]),
+                    "y": t["y"].to_numpy(zero_copy_only=False)[m],
+                    "row": v})
+            train_ds = ds.map_batches(featurize, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            forest = train_random_forest(train_ds, k, seed=seed,
+                                         **trainer_cfg)
+            model = {"forest": forest}
+            forest_ref = ray.put(forest)
+
+            def score(t: pa.Table) -> pa.Table:
+                Fl = ray.get(f_ref)
+                fr = ray.get(forest_ref)
+                m = t["test"].to_numpy(zero_copy_only=False)
+                v = t["vid"].to_numpy(zero_copy_only=False)[m]
+                y = t["y"].to_numpy(zero_copy_only=False)[m]
+                pred = np.argmax(forest_predict_proba(fr, Fl[v]), axis=1)
+                return pa.table({"correct": [int((pred == y).sum())],
+                                 "total": [int(len(y))]})
+        elif method == "logisticRegression":
+            d = F.shape[1]
+            W = np.zeros((d + 1, k))
+            n_train = int((~test).sum())
+            epochs = trainer_cfg.get("epochs", 60)
+            lr = trainer_cfg.get("learning_rate", 0.5)
+            l2 = trainer_cfg.get("l2_penalty", 1e-4)
+            for _ in range(epochs):
+                wref = ray.put(W)
+
+                def grad(t: pa.Table) -> pa.Table:
+                    Wl = ray.get(wref)
+                    Fl = ray.get(f_ref)
+                    m = ~t["test"].to_numpy(zero_copy_only=False)
+                    v = t["vid"].to_numpy(zero_copy_only=False)[m]
+                    y = t["y"].to_numpy(zero_copy_only=False)[m]
+                    X = Fl[v]
+                    P = _softmax(X @ Wl[:-1] + Wl[-1])
+                    P[np.arange(len(y)), y] -= 1.0
+                    g = np.vstack([X.T @ P, P.sum(axis=0)])
+                    return pa.table({"g": pa.FixedSizeListArray.from_arrays(
+                        pa.array(g.reshape(-1)), g.size)})
+
+                parts = ds.map_batches(grad, batch_format="pyarrow",
+                                       zero_copy_batch=True).to_pandas()
+                gsum = np.sum(np.stack([np.asarray(v) for v in parts["g"]]),
+                              axis=0).reshape(d + 1, k)
+                gsum[:-1] += l2 * W[:-1] * n_train
+                W = W - lr * gsum / max(1, n_train)
+            model = {"weights": W}
+            wref = ray.put(W)
+
+            def score(t: pa.Table) -> pa.Table:
+                Wl = ray.get(wref)
+                Fl = ray.get(f_ref)
+                m = t["test"].to_numpy(zero_copy_only=False)
+                v = t["vid"].to_numpy(zero_copy_only=False)[m]
+                y = t["y"].to_numpy(zero_copy_only=False)[m]
+                pred = np.argmax(Fl[v] @ Wl[:-1] + Wl[-1], axis=1)
+                return pa.table({"correct": [int((pred == y).sum())],
+                                 "total": [int(len(y))]})
+        else:
+            raise ValueError(f"unknown trainer method {method!r}")
+
+        s = ds.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+        total = int(s["total"].sum())
+        acc = float(s["correct"].sum()) / total if total else 0.0
+        return {"model": model, "classes": classes.tolist(),
+                "test_accuracy": acc, "method": method,
+                "steps": [s0 for s0, _ in self.node_property_steps]}
+
+
+class LinkPredictionPipeline(TrainingPipeline):
+    def __init__(self):
+        super().__init__()
+        self.link_feature = "hadamard"
+
+    def add_feature(self, feature: str) -> "LinkPredictionPipeline":
+        if feature not in ("hadamard", "cosine", "l2"):
+            raise ValueError(f"unknown link feature {feature!r}")
+        self.link_feature = feature
+        return self
+
+    def train(
+        self,
+        graph: PartitionedGraph,
+        method: str = "logisticRegression",
+        holdout_fraction: float = 0.3,
+        seed: int = 42,
+        **trainer_cfg,
+    ) -> dict:
+        """Split → node-property steps on the TRAIN graph (no test
+        leakage) → link features → trainer → test AUC."""
+        import tempfile
+
+        from ..sources.graph_build import build_int_graph
+        from .link_prediction import (auc_score, link_features,
+                                      predict_scores,
+                                      train_logistic_regression)
+        from .split import split_relationships
+        train_edges, test_pairs = split_relationships(
+            graph, holdout_fraction=holdout_fraction, seed=seed)
+        tdir = tempfile.mkdtemp(prefix="gds_lp_train_graph_")
+        tg = build_int_graph(train_edges, tdir, graph.n,
+                             graph.num_parts_layout or 8, symmetrize=True)
+        tg.owns_dir = True
+        try:
+            F = compute_node_properties(tg, self.node_property_steps)
+            _, train_pairs = split_relationships(
+                tg, holdout_fraction=0.5, seed=seed + 1)
+            feats_train = link_features(train_pairs, F, self.link_feature)
+            feats_test = link_features(test_pairs, F, self.link_feature)
+            if method == "randomForest":
+                def add_row(t: pa.Table) -> pa.Table:
+                    src = t["src"].to_numpy(zero_copy_only=False)
+                    dst = t["dst"].to_numpy(zero_copy_only=False)
+                    return (t.append_column(
+                        "row", pa.array(src * graph.n + dst))
+                        .append_column("y", t["label"]))
+                forest = train_random_forest(
+                    feats_train.map_batches(add_row,
+                                            batch_format="pyarrow",
+                                            zero_copy_batch=True),
+                    num_classes=2, seed=seed, **trainer_cfg)
+                model = {"forest": forest}
+                forest_ref = ray.put(forest)
+
+                def score_kernel(t: pa.Table) -> pa.Table:
+                    from .link_prediction import _feature_matrix
+                    fr = ray.get(forest_ref)
+                    X = _feature_matrix(t)
+                    p = forest_predict_proba(fr, X)[:, 1]
+                    return pa.table({"src": t["src"], "dst": t["dst"],
+                                     "score": pa.array(p),
+                                     "label": t["label"]})
+                scored = feats_test.map_batches(
+                    score_kernel, batch_format="pyarrow",
+                    zero_copy_batch=True).to_pandas()
+            elif method == "logisticRegression":
+                w = train_logistic_regression(
+                    feats_train, epochs=trainer_cfg.get("epochs", 50))
+                model = {"weights": w}
+                scored = predict_scores(feats_test, w).to_pandas()
+            else:
+                raise ValueError(f"unknown trainer method {method!r}")
+            return {"model": model, "test_auc": auc_score(scored),
+                    "method": method, "feature": self.link_feature,
+                    "steps": [s0 for s0, _ in self.node_property_steps]}
+        finally:
+            tg.cleanup()

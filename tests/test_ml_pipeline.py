@@ -1,0 +1,108 @@
+"""Configurable pipeline orchestration + random-forest trainer."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray.stages.superstep import PartitionedGraph
+
+
+def three_cliques():
+    n = 30
+    edges = []
+    for base in (0, 10, 20):
+        for i in range(10):
+            for j in range(i + 1, 10):
+                edges.append((base + i, base + j))
+    e = np.array(edges, dtype=np.int64)
+    s = np.concatenate([e[:, 0], e[:, 1]])
+    d = np.concatenate([e[:, 1], e[:, 0]])
+    labels = np.repeat(np.array([7, 3, 5], dtype=np.int64), 10)
+    return PartitionedGraph.from_arrays(n, s, d), labels
+
+
+def test_cart_separable():
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        _fit_tree, _tree_proba)
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(400, 3))
+    y = (X[:, 1] > 0.3).astype(np.int64)
+    tree = _fit_tree(X, y, 2, max_depth=4, min_split=2,
+                     feature_frac=1.0, rng=np.random.default_rng(1))
+    pred = np.argmax(_tree_proba(tree, X), axis=1)
+    assert (pred == y).mean() > 0.95
+
+
+def test_forest_multiclass(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        forest_predict_proba, train_random_forest)
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(600, 4))
+    y = (X[:, 0] > 0).astype(np.int64) + 2 * (X[:, 2] > 0).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "f": pa.FixedSizeListArray.from_arrays(pa.array(X.reshape(-1)), 4),
+        "y": y, "row": np.arange(600, dtype=np.int64)}))
+    forest = train_random_forest(ds, num_classes=4, trees=8, max_depth=6,
+                                 seed=9)
+    assert len(forest) == 8
+    pred = np.argmax(forest_predict_proba(forest, X), axis=1)
+    assert (pred == y).mean() > 0.9
+    # deterministic retrain
+    forest2 = train_random_forest(ds, num_classes=4, trees=8, max_depth=6,
+                                  seed=9)
+    pred2 = np.argmax(forest_predict_proba(forest2, X), axis=1)
+    assert np.array_equal(pred, pred2)
+
+
+def test_nc_pipeline_configurable_steps(ray_session):
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        NodeClassificationPipeline)
+    g, labels = three_cliques()
+    pipe = (NodeClassificationPipeline()
+            .add_node_property("fastRP", dim=16, seed=2)
+            .add_node_property("degree"))
+    model = pipe.train(g, labels, seed=2, epochs=60)
+    assert model["steps"] == ["fastRP", "degree"]
+    assert model["test_accuracy"] >= 0.8, model["test_accuracy"]
+    assert sorted(model["classes"]) == [3, 5, 7]
+
+
+def test_nc_pipeline_random_forest(ray_session):
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        NodeClassificationPipeline)
+    g, labels = three_cliques()
+    pipe = (NodeClassificationPipeline()
+            .add_node_property("fastRP", dim=16, seed=2))
+    model = pipe.train(g, labels, method="randomForest", seed=2,
+                       trees=8, max_depth=6)
+    assert model["method"] == "randomForest"
+    assert model["test_accuracy"] >= 0.8, model["test_accuracy"]
+
+
+def test_lp_pipeline_random_forest(ray_session):
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        LinkPredictionPipeline)
+    # two dense cliques: held-out intra-clique edges should score high
+    n = 40
+    edges = []
+    for base in (0, 20):
+        for i in range(20):
+            for j in range(i + 1, 20):
+                edges.append((base + i, base + j))
+    e = np.array(edges, dtype=np.int64)
+    g = PartitionedGraph.from_arrays(n, e[:, 0], e[:, 1])
+    pipe = (LinkPredictionPipeline()
+            .add_node_property("fastRP", dim=16, seed=5)
+            .add_feature("hadamard"))
+    model = pipe.train(g, method="randomForest", seed=5, trees=8,
+                       max_depth=6)
+    assert model["test_auc"] > 0.7, model["test_auc"]
+
+
+def test_unknown_step_rejected():
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        NodeClassificationPipeline)
+    with pytest.raises(ValueError):
+        NodeClassificationPipeline().add_node_property("nope")
