@@ -3,10 +3,11 @@
 second-order random walks → skip-gram with negative sampling).
 
 Ray-Data shape:
-  1. walks come from ``pipelines.walks.random_walks`` (the p/q-biased
-     deterministic walker table — a Dataset end-to-end);
-  2. (center, context) training pairs are a vectorized window expansion
-     inside map_batches over the walk table;
+  1. walks come from ``pipelines.walks.random_walks_ds`` (the
+     p/q-biased shard-routed walker — a Dataset end-to-end);
+  2. (center, context) training pairs are a distributed window
+     expansion (``walks.walk_window_pairs``: walk_id-bucketed
+     map_groups; the pair table never lands on the driver);
   3. training is SYNCHRONOUS data-parallel SGD: each epoch broadcasts
      the current (center, context) embedding matrices, map_batches
      computes per-batch gradient PARTIALS (compact per-touched-row
@@ -41,22 +42,6 @@ def _hash_u01(x: np.ndarray, salt: int) -> np.ndarray:
     return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def _walk_pairs(walks: pd.DataFrame, window: int) -> pd.DataFrame:
-    """(center, context) pairs within ±window along each walk."""
-    df = walks.sort_values(["walk_id", "step"])
-    wid = df["walk_id"].to_numpy(np.int64)
-    vid = df["vid"].to_numpy(np.int64)
-    centers, contexts = [], []
-    for off in range(1, window + 1):
-        same = wid[off:] == wid[:-off]
-        a, b = vid[:-off][same], vid[off:][same]
-        centers.append(np.concatenate([a, b]))
-        contexts.append(np.concatenate([b, a]))
-    if not centers:
-        e = np.empty(0, np.int64)
-        return pd.DataFrame({"center": e, "context": e})
-    return pd.DataFrame({"center": np.concatenate(centers),
-                         "context": np.concatenate(contexts)})
 
 
 def node2vec(
@@ -74,31 +59,41 @@ def node2vec(
     seed: int = 42,
 ) -> pd.DataFrame:
     """(vid, emb) skip-gram embeddings over p/q-biased walks."""
-    from .walks import random_walks
+    from .walks import random_walks_ds, walk_window_pairs
     n = graph.n
-    walks = random_walks(graph, walk_length=walk_length,
-                         walks_per_node=walks_per_node, seed=seed,
-                         return_factor=return_factor,
-                         in_out_factor=in_out_factor)
-    pairs = _walk_pairs(walks, window)
-    if pairs.empty:
+    walks_ds = random_walks_ds(graph, walk_length=walk_length,
+                               walks_per_node=walks_per_node, seed=seed,
+                               return_factor=return_factor,
+                               in_out_factor=in_out_factor)
+    # distributed window expansion: walks bucket by walk_id, pairs stay
+    # a Dataset; pair_id is a deterministic (walk, step, offset) code so
+    # negative sampling reproduces under any partitioning
+    pairs_ds = walk_window_pairs(
+        walks_ds, window, walk_length).select_columns(
+        ["center", "context", "pair_id"]).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return pd.DataFrame({"vid": np.arange(n, dtype=np.int64),
                              "emb": [np.zeros(dim)] * n})
-    # unigram^0.75 negative-sampling table (cumulative, broadcast)
-    freq = np.bincount(pairs["center"].to_numpy(), minlength=n).astype(
-        np.float64) ** 0.75
+    # unigram^0.75 negative-sampling table (cumulative, broadcast):
+    # distributed compact partial bincounts over the pair table
+    def _freq_partial(t: pa.Table) -> pa.Table:
+        c = t["center"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"vid": u, "cnt": cnt})
+
+    fp = pairs_ds.map_batches(_freq_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    freq = np.zeros(n)
+    np.add.at(freq, fp["vid"].to_numpy(np.int64),
+              fp["cnt"].to_numpy(np.float64))
+    freq **= 0.75
     cum = np.cumsum(freq / freq.sum())
     cum_ref = ray.put(cum)
 
     rng = np.random.default_rng(seed)
     W = (rng.random((n, dim)) - 0.5) / dim   # center embeddings
     C = np.zeros((n, dim))                    # context embeddings
-    pairs_ds = rd.from_arrow(pa.table({
-        "center": pairs["center"].to_numpy(np.int64),
-        "context": pairs["context"].to_numpy(np.int64),
-        "pair_id": np.arange(len(pairs), dtype=np.int64),
-    })).materialize()
-    n_pairs = len(pairs)
 
     for epoch in range(epochs):
         lr = max(min_learning_rate,

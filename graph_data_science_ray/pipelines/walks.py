@@ -146,7 +146,7 @@ def _bucket_by(col: str, P: int):
     return add
 
 
-def random_walks(
+def random_walks_ds(
     graph: PartitionedGraph,
     walk_length: int = 10,
     walks_per_node: int = 1,
@@ -154,8 +154,10 @@ def random_walks(
     source_vids: np.ndarray | None = None,
     return_factor: float = 1.0,    # node2vec p (return bias)
     in_out_factor: float = 1.0,    # node2vec q (in-out bias)
-) -> pd.DataFrame:
-    """(walk_id, step, vid) rows; walks stop early at sink vertices.
+) -> rd.Dataset:
+    """(walk_id, step, vid) rows as a DATASET; walks stop early at sink
+    vertices. Consumers that need co-resident walks (window expansion)
+    bucket by walk_id — never collect the table to the driver.
 
     p=q=1 is the uniform gds.randomWalk; other values apply the
     node2vec second-order bias (traversal/RandomWalk.java:44-76,
@@ -294,5 +296,51 @@ def random_walks(
         frames.append(cur)
 
     out_ds = frames[0] if len(frames) == 1 else frames[0].union(*frames[1:])
-    out = out_ds.select_columns(["walk_id", "step", "vid"]).to_pandas()
+    return out_ds.select_columns(["walk_id", "step", "vid"])
+
+
+def random_walks(graph: PartitionedGraph, **kwargs) -> pd.DataFrame:
+    """Driver-collected (walk_id, step, vid) — small walk sets / procs.
+    See random_walks_ds for the streaming form."""
+    out = random_walks_ds(graph, **kwargs).to_pandas()
     return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def walk_window_pairs(
+    walks: rd.Dataset,
+    window: int,
+    walk_length: int,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Skip-gram (center, context, pair_id) expansion of a walk table,
+    fully distributed: walks hash-bucket by walk_id (all steps of a
+    walk co-resident), each group sorts locally and pairs rows ±window
+    apart. pair_id is a deterministic function of (walk_id, step,
+    offset, direction) so downstream hash-seeded negative sampling is
+    reproducible regardless of partitioning."""
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["walk_id", "step"])
+        wid = df["walk_id"].to_numpy(np.int64)
+        vid = df["vid"].to_numpy(np.int64)
+        step = df["step"].to_numpy(np.int64)
+        centers, contexts, pids = [], [], []
+        for off in range(1, window + 1):
+            same = wid[off:] == wid[:-off]
+            a, b = vid[:-off][same], vid[off:][same]
+            base = ((wid[:-off][same] * walk_length + step[:-off][same])
+                    * window + (off - 1)) * 2
+            centers.append(np.concatenate([a, b]))
+            contexts.append(np.concatenate([b, a]))
+            pids.append(np.concatenate([base, base + 1]))
+        if not centers:
+            e = np.empty(0, np.int64)
+            return pd.DataFrame({"center": e, "context": e, "pair_id": e})
+        return pd.DataFrame({"center": np.concatenate(centers),
+                             "context": np.concatenate(contexts),
+                             "pair_id": np.concatenate(pids)})
+
+    return (walks.map_batches(_bucket_by("walk_id", num_buckets),
+                              batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(expand, batch_format="pandas"))
