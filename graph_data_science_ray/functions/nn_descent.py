@@ -40,15 +40,17 @@ def _hash_u01(x: np.ndarray, salt: int) -> np.ndarray:
     return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def _gather_matrix(embeddings: rd.Dataset, id_col: str, vec_col: str):
-    """(sorted ids, L2-normalized matrix in id order) — streamed once."""
-    ids_parts, m_parts = [], []
-    for batch in embeddings.iter_batches(batch_size=1 << 14,
-                                         batch_format="pyarrow"):
-        ids_parts.append(batch[id_col].to_numpy(zero_copy_only=False))
-        m_parts.append(_batch_matrix(batch, vec_col))
-    ids = np.concatenate(ids_parts)
-    m = _normalize(np.vstack(m_parts))
+@ray.remote(num_returns=2)
+def _assemble_matrix(id_col: str, vec_col: str, *tables):
+    """(sorted ids, L2-normalized matrix in id order), assembled in a
+    WORKER from the dataset's arrow block refs — the driver only ever
+    holds the two result refs. The O(N·d) single-process peak is the
+    same shared-matrix assumption the reference makes; past one node's
+    RAM, shard the matrix (the candidate scoring only needs the rows
+    its bucket touches)."""
+    ids = np.concatenate([t[id_col].to_numpy(zero_copy_only=False)
+                          for t in tables])
+    m = _normalize(np.vstack([_batch_matrix(t, vec_col) for t in tables]))
     order = np.argsort(ids, kind="stable")
     return ids[order], m[order]
 
@@ -65,29 +67,40 @@ def knn_descent(
     num_buckets: int = 16,
 ) -> pd.DataFrame:
     """(node, neighbor, score, rank) approximate cosine KNN graph."""
-    ids, mat = _gather_matrix(embeddings, id_col, vec_col)
-    n = len(ids)
+    n = embeddings.count()
     if n <= 1:
         return pd.DataFrame({"node": [], "neighbor": [], "score": [],
                              "rank": []})
+    # shared (ids, matrix) assembled worker-side from the block refs;
+    # the driver never streams the embedding table
+    block_refs = embeddings.to_arrow_refs()
+    ids_ref, mat_ref = _assemble_matrix.remote(id_col, vec_col,
+                                               *block_refs)
     k_eff = min(k, n - 1)
-    ids_ref = ray.put(ids)
-    mat_ref = ray.put(mat)
     cap = max(k_eff, int(np.ceil(sample_rate * 2 * k_eff)))
 
-    # --- init: k random distinct neighbors per node (hash-seeded) ----------
-    pos = np.arange(n, dtype=np.int64)
-    init_node, init_nbr = [], []
-    for j in range(k_eff):
-        off = (_hash_u01(pos, seed * 1000 + j) * (n - 1)).astype(np.int64) + 1
-        init_node.append(pos)
-        init_nbr.append((pos + off) % n)
-    node0 = np.concatenate(init_node)
-    nbr0 = np.concatenate(init_nbr)
-    sim0 = np.einsum("ij,ij->i", mat[node0], mat[nbr0])
-    cur = rd.from_arrow(pa.table({
-        "node": ids[node0], "nbr": ids[nbr0],
-        "sim": np.round(sim0, 12), "is_new": np.ones(len(node0), bool)}))
+    # --- init: k random distinct neighbors per node (hash-seeded),
+    # built + scored distributed over position ranges ----------------------
+    def init_kernel(t: pa.Table) -> pd.DataFrame:
+        pos = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sids = ray.get(ids_ref)
+        M = ray.get(mat_ref)
+        node_p, nbr_p = [], []
+        for j in range(k_eff):
+            off = (_hash_u01(pos, seed * 1000 + j)
+                   * (n - 1)).astype(np.int64) + 1
+            node_p.append(pos)
+            nbr_p.append((pos + off) % n)
+        node0 = np.concatenate(node_p)
+        nbr0 = np.concatenate(nbr_p)
+        sim0 = np.einsum("ij,ij->i", M[node0], M[nbr0])
+        return pd.DataFrame({
+            "node": sids[node0], "nbr": sids[nbr0],
+            "sim": np.round(sim0, 12),
+            "is_new": np.ones(len(node0), bool)})
+
+    cur = rd.range(n, override_num_blocks=num_buckets).map_batches(
+        init_kernel, batch_format="pyarrow")
 
     def bucket_node(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
