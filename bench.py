@@ -108,7 +108,7 @@ def run_bench() -> dict:
     log(f"pagerank: {pr_sec:.2f}s, {detail['pagerank_edges_per_sec']:.0f} edges/s")
 
     t0 = time.perf_counter()
-    cc = engine.run(WCCProgram(), max_iterations=100, collect=("label",))
+    cc = engine.run(WCCProgram(n=graph.n), max_iterations=100, collect=("label",))
     wcc_sec = time.perf_counter() - t0
     cc_edges = sum(m["sent_edges"] for m in cc.metrics)
     cc_step_wall = sum(m["wall_sec"] for m in cc.metrics)
@@ -255,17 +255,25 @@ def run_scaling_child(num_cpus: int) -> dict:
     # charge one-time graph load to per-superstep throughput)
     engine.run(PageRankProgram(tolerance=0.0), max_iterations=3,
                collect=("rank",))
-    engine.run(WCCProgram(), max_iterations=2, collect=("label",))
+    engine.run(WCCProgram(n=graph.n), max_iterations=2, collect=("label",))
     t0 = time.perf_counter()
     pr = engine.run(PageRankProgram(tolerance=0.0), max_iterations=20,
                     collect=("rank",))
     pr_sec = time.perf_counter() - t0
     pr_edges = sum(m["sent_edges"] for m in pr.metrics)
     t0 = time.perf_counter()
-    cc = engine.run(WCCProgram(), max_iterations=100, collect=("label",))
+    cc = engine.run(WCCProgram(n=graph.n), max_iterations=100, collect=("label",))
     wcc_sec = time.perf_counter() - t0
     cc_edges = sum(m["sent_edges"] for m in cc.metrics)
     engine.shutdown()
+    def phase_sums(res):
+        """Σ over supersteps of the slowest partition's per-phase time —
+        where the superstep critical path goes (merge vs compute vs
+        emit/pack)."""
+        keys = ("t_merge", "t_compute", "t_emit", "t_pack")
+        return {k: round(sum(m.get("phase_max", {}).get(k, 0.0)
+                             for m in res.metrics), 3) for k in keys}
+
     out = {
         "num_cpus": num_cpus,
         "num_vertices": graph.n,
@@ -274,6 +282,8 @@ def run_scaling_child(num_cpus: int) -> dict:
         "derive_rows_per_sec": round(3 * n_repos / derive_sec, 1),
         "pagerank_sec": round(pr_sec, 3),
         "wcc_sec": round(wcc_sec, 3),
+        "pagerank_phases": phase_sums(pr),
+        "wcc_phases": phase_sums(cc),
         "superstep_edges_per_sec": round(
             (pr_edges + cc_edges) / (pr.total_wall_sec + cc.total_wall_sec), 1),
     }

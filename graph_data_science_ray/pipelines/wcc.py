@@ -70,9 +70,15 @@ class WCCProgram(VertexProgram):
     msg_dtype = "int64"
     state_keys = ("label",)
 
-    def __init__(self, seeds: np.ndarray | None = None, local_preunion: bool = True):
+    def __init__(self, seeds: np.ndarray | None = None,
+                 local_preunion: bool = True, n: int | None = None):
         self.seeds = seeds
         self.local_preunion = local_preunion and seeds is None
+        # labels are dense vids: int32 messages halve the bytes through
+        # the (bandwidth-bound) scatter/merge path whenever they fit.
+        # Seeded labels are arbitrary user values — keep int64 there.
+        if seeds is None and n is not None and n < (1 << 31):
+            self.msg_dtype = "int32"
 
     def init_state(self, ctx: WorkerContext) -> dict[str, np.ndarray]:
         gids = ctx.global_ids()
@@ -134,7 +140,7 @@ def wcc(
         graph = filtered
         engine = None  # filtered view needs its own block layout
     eng = engine or SuperstepEngine(graph, num_parts=num_parts)
-    prog = WCCProgram(seeds=seeds)
+    prog = WCCProgram(seeds=seeds, n=graph.n)
     try:
         return eng.run(prog, max_iterations=max_iterations, collect=("label",),
                        **engine_kwargs)

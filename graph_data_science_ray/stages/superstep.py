@@ -601,7 +601,10 @@ class PartitionWorker:
                     seg[idx] = v
                     payloads[q] = ("d", seg)
                 else:
-                    payloads[q] = ("s", idx, v)
+                    # local indices always fit int32 (n_max = n/P): half
+                    # the index bytes on the wire / through the store
+                    payloads[q] = ("s", idx.astype(np.int32, copy=False)
+                                   if n_max < (1 << 31) else idx, v)
         return payloads, sent_edges
 
     def _emit_votes(self, out: StepOutput):

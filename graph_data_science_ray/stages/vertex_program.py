@@ -35,6 +35,7 @@ REDUCER_IDENTITY = {
     (SUM, "float64"): 0.0,
     (MIN, "float64"): np.inf,
     (MIN, "int64"): np.iinfo(np.int64).max,
+    (MIN, "int32"): np.iinfo(np.int32).max,
     (OR, "int64"): 0,
 }
 

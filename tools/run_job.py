@@ -74,7 +74,7 @@ def main() -> None:
         prog, collect = PageRankProgram(tolerance=args.tolerance), ("rank",)
         kwargs = {}
     elif args.algorithm == "wcc":
-        prog, collect, kwargs = WCCProgram(), ("label",), {}
+        prog, collect, kwargs = WCCProgram(n=graph.n), ("label",), {}
     else:
         prog = LabelPropagationProgram(graph.n, waves=16)
         collect = ("label",)
