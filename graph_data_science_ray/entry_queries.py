@@ -933,6 +933,34 @@ def q_node_classification(sf_dir: str):
     })
 
 
+def q_nc_pipeline_rf(sf_dir: str):
+    """Configurable NC training pipeline (≙ the reference's
+    Pipeline.java orchestration: addNodeProperty steps feeding a chosen
+    trainer): degree + FastRP node-property steps → random-forest
+    classifier, predicting each customer's nation (rows-only: forest
+    training is iterative; exactness/quality gates in pytest)."""
+    from .pipelines.ml_pipeline import NodeClassificationPipeline
+    g = _customer_nation_graph(sf_dir)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    labels = np.zeros(g.n, dtype=np.int64)
+    labels[ck] = cust["c_nationkey"].to_numpy(np.int64)
+    mask = np.zeros(g.n, dtype=bool)
+    mask[ck] = True
+    pipe = (NodeClassificationPipeline()
+            .add_node_property("degree")
+            .add_node_property("fastRP", dim=16, seed=42))
+    model = pipe.train(g, labels, label_mask=mask, method="randomForest",
+                       trees=16, max_depth=16, feature_frac=0.6, seed=42)
+    return pa.table({
+        "n_classes": [np.int64(len(model["classes"]))],
+        "n_steps": [np.int64(len(model["steps"]))],
+        "method": [model["method"]],
+        "test_accuracy": [np.round(model["test_accuracy"], _ROUND)],
+    })
+
+
 def q_link_prediction(sf_dir: str):
     """End-to-end link-prediction pipeline (split → FastRP on the train
     graph → Hadamard features → logistic regression → held-out AUC) on
@@ -1778,6 +1806,7 @@ _ALL_QUERIES = {
     "graphsage": q_graphsage,
     "link_prediction": q_link_prediction,
     "node_classification": q_node_classification,
+    "nc_pipeline_rf": q_nc_pipeline_rf,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
     "collapse_path": q_collapse_path,
