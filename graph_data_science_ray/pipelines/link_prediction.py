@@ -191,9 +191,20 @@ class ModelCatalog:
     def store(self, name: str, model: dict) -> None:
         d = os.path.join(self.root, name)
         os.makedirs(d, exist_ok=True)
-        np.savez(os.path.join(d, "weights.npz"),
-                 weights=model["weights"])
-        meta = {k: v for k, v in model.items() if k != "weights"}
+        arrays: dict[str, np.ndarray] = {}
+        meta: dict = {"_array_keys": [], "_forest_trees": 0}
+        for k, v in model.items():
+            if isinstance(v, np.ndarray):
+                arrays[k] = v
+                meta["_array_keys"].append(k)
+            elif k == "forest":  # list of per-tree dicts of arrays
+                meta["_forest_trees"] = len(v)
+                for i, tree in enumerate(v):
+                    for tk, tv in tree.items():
+                        arrays[f"forest.{i}.{tk}"] = tv
+            else:
+                meta[k] = v
+        np.savez(os.path.join(d, "weights.npz"), **arrays)
         with open(os.path.join(d, "model.json"), "w") as f:
             json.dump(meta, f, indent=2)
 
@@ -201,8 +212,15 @@ class ModelCatalog:
         d = os.path.join(self.root, name)
         with open(os.path.join(d, "model.json")) as f:
             meta = json.load(f)
-        meta["weights"] = np.load(
-            os.path.join(d, "weights.npz"))["weights"]
+        data = np.load(os.path.join(d, "weights.npz"))
+        for k in meta.pop("_array_keys", ["weights"]):
+            meta[k] = data[k]
+        n_trees = meta.pop("_forest_trees", 0)
+        if n_trees:
+            meta["forest"] = [
+                {k.split(".", 2)[2]: data[k] for k in data.files
+                 if k.startswith(f"forest.{i}.")}
+                for i in range(n_trees)]
         return meta
 
     def exists(self, name: str) -> bool:

@@ -101,6 +101,32 @@ def test_lp_pipeline_random_forest(ray_session):
     assert model["test_auc"] > 0.7, model["test_auc"]
 
 
+def test_forest_model_catalog_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.link_prediction import ModelCatalog
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        forest_predict_proba, train_random_forest)
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(200, 3))
+    y = (X[:, 0] > 0).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "f": pa.FixedSizeListArray.from_arrays(pa.array(X.reshape(-1)), 3),
+        "y": y, "row": np.arange(200, dtype=np.int64)}))
+    forest = train_random_forest(ds, num_classes=2, trees=4, max_depth=4,
+                                 seed=1)
+    cat = ModelCatalog(str(tmp_path))
+    cat.store("rf", {"forest": forest, "method": "randomForest",
+                     "test_accuracy": 0.9})
+    back = cat.load("rf")
+    assert back["method"] == "randomForest"
+    assert len(back["forest"]) == 4
+    np.testing.assert_array_equal(
+        forest_predict_proba(back["forest"], X),
+        forest_predict_proba(forest, X))
+
+
 def test_unknown_step_rejected():
     from graph_data_science_ray.pipelines.ml_pipeline import (
         NodeClassificationPipeline)
