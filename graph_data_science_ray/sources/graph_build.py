@@ -332,7 +332,7 @@ def build_int_graph(
     n: int,
     num_parts: int,
     symmetrize: bool = False,
-    aggregation: str = "single",   # 'single' | 'count' | 'sum'
+    aggregation: str = "single",   # 'single' | 'count' | 'sum' | 'min' | 'max'
     weight_col: str | None = None,
     dedup: bool = True,
     lineage: dict | None = None,
@@ -340,8 +340,10 @@ def build_int_graph(
     """Partitioned layout for an edge dataset that already carries dense
     int64 vids (columns src, dst[, weight_col]) — skips the IdMap step of
     ``build_graph``. `symmetrize` emits each edge in both directions
-    before dedup (undirected import). `aggregation='sum'` sums
-    `weight_col` over parallel edges; 'count' counts multiplicity."""
+    before dedup (undirected import). Parallel-edge `aggregation` ≙ the
+    reference's load-time Aggregation (Aggregation.java: NONE/SINGLE/
+    SUM/MIN/MAX/COUNT): 'sum'/'min'/'max' fold `weight_col` over
+    parallel edges; 'count' counts multiplicity; 'single' dedups."""
     from ..stages.shuffle import aggregate_rows, distinct_rows
 
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
@@ -362,7 +364,8 @@ def build_int_graph(
     prepped = edges_ds.select_columns(cols).map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True)
 
-    weighted = aggregation in ("count", "sum") or weight_col is not None
+    weighted = (aggregation in ("count", "sum", "min", "max")
+                or weight_col is not None)
     if aggregation == "count":
         grouped = distinct_rows(prepped, ["src", "dst"], count_alias="mult")
 
@@ -372,6 +375,9 @@ def build_int_graph(
         final = grouped.map_batches(finish, batch_format="pyarrow")
     elif aggregation == "sum":
         final = aggregate_rows(prepped, ["src", "dst"], ["weight"])
+    elif aggregation in ("min", "max"):
+        final = aggregate_rows(prepped, ["src", "dst"], ["weight"],
+                               how=aggregation)
     elif dedup:
         final = distinct_rows(prepped, ["src", "dst"] +
                               (["weight"] if weight_col else []))
@@ -380,6 +386,83 @@ def build_int_graph(
     final = final.materialize()
     return _finish_layout(final, graph_dir, n, num_parts, weighted,
                           aggregation, lineage)
+
+
+class GraphBuilder:
+    """Incremental graph construction ≙ the reference's Cypher
+    aggregation `gds.alpha.graph.project` (cypher-aggregation/src/main/
+    java/org/neo4j/gds/projection/CypherAggregation.java: nodes/edges
+    accumulate one row at a time while a query runs; the graph
+    materializes when the aggregation finishes).
+
+    Ray-Data shape: `add_edges` / `add_edges_dataset` only APPEND a
+    batch handle — array batches become small Arrow tables, Dataset
+    batches stay lazy — and nothing shuffles until `build()`, which
+    unions every part into one Dataset and runs the normal partitioned
+    layout once. An arbitrarily long stream of add calls therefore costs
+    a single dedup/aggregate/layout pass at the end, and large
+    contributions should arrive as Datasets so they never sit on the
+    driver."""
+
+    def __init__(self, symmetrize: bool = False,
+                 aggregation: str = "single",
+                 weight_col: str | None = None):
+        self.symmetrize = symmetrize
+        self.aggregation = aggregation
+        self.weight_col = weight_col
+        self._parts: list[rd.Dataset] = []
+        self._arrays: list[pa.Table] = []
+        self._max_vid = -1
+
+    def add_edges(self, src, dst, weight=None) -> "GraphBuilder":
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if len(src) == 0:
+            return self
+        cols = {"src": src, "dst": dst}
+        if weight is not None:
+            if not self.weight_col:
+                self.weight_col = "weight"
+            cols[self.weight_col] = np.asarray(weight, dtype=np.float64)
+        elif self.weight_col:
+            raise ValueError("builder is weighted; batch lacks weights")
+        self._arrays.append(pa.table(cols))
+        self._max_vid = max(self._max_vid, int(src.max()), int(dst.max()))
+        return self
+
+    def add_edges_dataset(self, ds: rd.Dataset) -> "GraphBuilder":
+        self._parts.append(ds)
+        return self
+
+    def build(self, graph_dir: str, num_parts: int,
+              n: int | None = None,
+              lineage: dict | None = None) -> PartitionedGraph:
+        parts = list(self._parts)
+        if self._arrays:
+            parts.append(rd.from_arrow(pa.concat_tables(self._arrays)))
+        if not parts:
+            raise ValueError("GraphBuilder has no edges")
+        un = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+        if n is None:
+            # one distributed max pass over the Dataset parts; array
+            # parts were tracked incrementally
+            if self._parts:
+                def vmax(t: pa.Table) -> pa.Table:
+                    s = t["src"].to_numpy(zero_copy_only=False)
+                    d = t["dst"].to_numpy(zero_copy_only=False)
+                    m = max(int(s.max()), int(d.max())) if len(s) else -1
+                    return pa.table({"m": np.array([m], dtype=np.int64)})
+                ds_max = int(un.map_batches(
+                    vmax, batch_format="pyarrow",
+                    zero_copy_batch=True).to_pandas()["m"].max())
+            else:
+                ds_max = self._max_vid
+            n = max(ds_max, self._max_vid) + 1
+        return build_int_graph(
+            un, graph_dir, n, num_parts, symmetrize=self.symmetrize,
+            aggregation=self.aggregation, weight_col=self.weight_col,
+            lineage=lineage or {"source": "GraphBuilder",
+                                "parts": len(parts)})
 
 
 def content_digest(digests_ds: rd.Dataset) -> str:

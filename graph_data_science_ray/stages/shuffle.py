@@ -62,12 +62,14 @@ def aggregate_rows(
     key_cols: list[str],
     sum_cols: list[str],
     num_buckets: int = 32,
+    how: str = "sum",              # 'sum' | 'min' | 'max'
 ) -> rd.Dataset:
-    """Groupby-sum over high-cardinality keys: hash-bucket the keys into
-    ~`num_buckets` groups, then one vectorized pandas groupby-sum per
+    """Groupby-aggregate over high-cardinality keys: hash-bucket the keys
+    into ~`num_buckets` groups, then one vectorized pandas groupby per
     bucket (same rationale as ``distinct_rows`` — Ray's native sort-based
     groupby costs ~25µs/group). Every distinct key lands in exactly one
-    bucket, so bucket-local sums are globally correct."""
+    bucket, so bucket-local aggregates are globally correct for any
+    associative `how` (sum/min/max)."""
     cols = key_cols + sum_cols
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -77,7 +79,7 @@ def aggregate_rows(
 
     def kernel(group: pd.DataFrame) -> pd.DataFrame:
         return (group.groupby(key_cols, sort=False)[sum_cols]
-                .sum().reset_index())
+                .agg(how).reset_index())
 
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket")

@@ -129,3 +129,57 @@ def test_distributed_id_assignment_matches_driver_path(
     vb = pq.read_table(f"{gb.path}/vertices.parquet").to_pandas()
     vb = vb[["vid", "repo"]].sort_values("vid").reset_index(drop=True)
     assert va.equals(vb)
+
+
+def test_incremental_graph_builder(ray_session, tmp_path):
+    """GraphBuilder (Cypher-aggregation analogue): mixed array/Dataset
+    batches, single build pass, parity with the direct path."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.sources.graph_build import (
+        GraphBuilder, build_int_graph)
+    from graph_data_science_ray.pipelines.pagerank import pagerank
+
+    b = GraphBuilder(symmetrize=True)
+    b.add_edges([0, 1, 2], [1, 2, 3])
+    b.add_edges_dataset(rd.from_arrow(pa.table(
+        {"src": np.array([3, 4], dtype=np.int64),
+         "dst": np.array([4, 0], dtype=np.int64)})))
+    b.add_edges([2], [0])
+    g = b.build(str(tmp_path / "inc"), num_parts=2)   # n inferred = 5
+    assert g.n == 5
+
+    all_src = np.array([0, 1, 2, 3, 4, 2], dtype=np.int64)
+    all_dst = np.array([1, 2, 3, 4, 0, 0], dtype=np.int64)
+    g2 = build_int_graph(
+        rd.from_arrow(pa.table({"src": all_src, "dst": all_dst})),
+        str(tmp_path / "direct"), 5, 2, symmetrize=True)
+    pr1 = pagerank(g, max_iterations=10).to_pandas().sort_values("vid")
+    pr2 = pagerank(g2, max_iterations=10).to_pandas().sort_values("vid")
+    np.testing.assert_allclose(pr1["rank"].to_numpy(),
+                               pr2["rank"].to_numpy(), rtol=1e-12)
+
+
+def test_min_max_edge_aggregation(ray_session, tmp_path):
+    """Parallel-edge MIN/MAX weight folding at load (reference
+    Aggregation.MIN/MAX)."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.sources.graph_build import build_int_graph
+    src = np.array([0, 0, 0, 1], dtype=np.int64)
+    dst = np.array([1, 1, 1, 2], dtype=np.int64)
+    w = np.array([3.0, 1.0, 2.0, 5.0])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst, "w": w}))
+    for how, expect01 in (("min", 1.0), ("max", 3.0)):
+        g = build_int_graph(ds, str(tmp_path / how), 3, 2,
+                            aggregation=how, weight_col="w")
+        assert g.weighted
+        rows = []
+        for f in glob.glob(f"{g.path}/out/part=*/*.parquet"):
+            rows.append(pq.read_table(f).to_pandas())
+        import pandas as pd
+        edges = pd.concat(rows)
+        e01 = edges[(edges["src"] == 0) & (edges["dst"] == 1)]
+        assert len(e01) == 1 and e01["weight"].iloc[0] == expect01
+        e12 = edges[(edges["src"] == 1) & (edges["dst"] == 2)]
+        assert e12["weight"].iloc[0] == 5.0
