@@ -273,7 +273,7 @@ def run_scaling_child(num_cpus: int) -> dict:
         """Σ over supersteps of the slowest partition's per-phase time —
         where the superstep critical path goes (merge vs compute vs
         emit/pack)."""
-        keys = ("t_merge", "t_compute", "t_emit", "t_pack")
+        keys = ("t_merge", "t_compute", "t_emit", "t_pack", "t_fetch")
         return {k: round(sum(m.get("phase_max", {}).get(k, 0.0)
                              for m in res.metrics), 3) for k in keys}
 

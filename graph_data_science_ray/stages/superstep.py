@@ -335,13 +335,21 @@ class PartitionWorker:
         P=32)."""
         if incoming is None:
             segments = []
+            t_fetch = 0.0
         else:
+            # the ray.get on peer bundle refs IS the superstep barrier:
+            # it waits for the slowest upstream sender AND pulls the
+            # plasma bundles — timed separately so wall-vs-kernel gaps
+            # are attributable (straggler skew / fetch vs compute).
+            tf0 = time.perf_counter()
             segments = ray.get(incoming)
+            t_fetch = time.perf_counter() - tf0
         master_converged = None
         if self.program.needs_master and master_value is not None:
             master_converged = bool(
                 self.program.apply_master(self.ctx, self.state, master_value))
         bundle, stats = self._compute_one(iteration, segments)
+        stats["t_fetch"] = t_fetch
         if master_converged is not None:
             stats["master_converged_local"] = master_converged
         if checkpoint_dir is not None:
@@ -846,7 +854,7 @@ class SuperstepEngine:
                 "active": sum(s["active"] for s in stats),
                 "phase_max": {k: max(s.get(k, 0.0) for s in stats)
                               for k in ("t_merge", "t_compute", "t_emit",
-                                        "t_pack")},
+                                        "t_pack", "t_fetch")},
             })
             if any(s.get("checkpointed") for s in stats):
                 checkpoint_iters.append(done_it)
