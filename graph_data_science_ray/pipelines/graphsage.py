@@ -9,6 +9,9 @@ searchDepth 5, negativeSampleWeight 20).
 Semantics matched:
   - mean aggregator WITH self:  h_v ← σ(W_k · mean({h_v} ∪ {h_u}))
     (MultiMean.java:56-78 divides by sampled-degree + 1)
+  - max-pooling aggregator (MaxPoolingAggregator.java): h_v ←
+    σ(W_self·h_v + W_neigh·max_u σ(W_pool·h_u + b_pool)) — elementwise
+    max over the sampled neighborhood, empty neighborhoods pool to 0
   - final L2 row normalization (GraphSageHelper.java:80)
   - unsupervised loss per batch node v with positive u (endpoint of a
     1..searchDepth uniform random walk) and negative g (degree^0.75-
@@ -226,24 +229,44 @@ def _act_grad(z: np.ndarray, h: np.ndarray, kind: str) -> np.ndarray:
     return h * (1.0 - h)
 
 
-def _forward(batch: dict, Ws: list, activation: str):
+def _forward(batch: dict, Ws: list, activation: str,
+             aggregator: str = "mean"):
     """Forward pass; returns (E, caches) where E = normalized batch
-    embeddings [3b, dim]."""
+    embeddings [3b, dim]. aggregator='mean': one W per layer
+    (MeanAggregator.java). aggregator='pool': 4 params per layer
+    [W_pool, b_pool, W_self, W_neigh] (MaxPoolingAggregator.java:
+    elementwise max over act(W_pool·h_u + b_pool), combined
+    act(W_self·h_v + W_neigh·maxpooled))."""
     H = batch["X"]
     caches = []
-    K = len(Ws)
+    K = len(batch["adj"])
     # widest aggregation first: layer j uses adj[K-1-j]
     for j in range(K):
         self_idx, nbr_idx, counts = batch["adj"][K - 1 - j]
-        denom = (counts + 1).astype(np.float64)[:, None]
-        M = H[self_idx].copy()
-        if len(nbr_idx):
+        if aggregator == "mean":
+            denom = (counts + 1).astype(np.float64)[:, None]
+            M = H[self_idx].copy()
+            if len(nbr_idx):
+                owner = np.repeat(np.arange(len(counts)), counts)
+                np.add.at(M, owner, H[nbr_idx])
+            M /= denom
+            Z = M @ Ws[j].T
+            Hn = _act(Z, activation)
+            caches.append((H, M, Z, Hn))
+        else:
+            Wp, bp, Wself, Wneigh = Ws[4 * j:4 * j + 4]
             owner = np.repeat(np.arange(len(counts)), counts)
-            np.add.at(M, owner, H[nbr_idx])
-        M /= denom
-        Z = M @ Ws[j].T
-        Hn = _act(Z, activation)
-        caches.append((H, M, Z, Hn))
+            Hnb = H[nbr_idx]
+            B = Hnb @ Wp.T + bp
+            A = _act(B, activation)
+            Pm = np.full((len(counts), A.shape[1]), -np.inf)
+            if len(nbr_idx):
+                np.maximum.at(Pm, owner, A)
+            Pm[~np.isfinite(Pm[:, 0])] = 0.0   # empty neighborhoods
+            Hs = H[self_idx]
+            Z = Hs @ Wself.T + Pm @ Wneigh.T
+            Hn = _act(Z, activation)
+            caches.append((H, (Hnb, B, A, Pm, owner, Hs), Z, Hn))
         H = Hn
     norms = np.linalg.norm(H, axis=1, keepdims=True)
     norms = np.where(norms == 0, 1.0, norms)
@@ -252,9 +275,10 @@ def _forward(batch: dict, Ws: list, activation: str):
 
 
 def _loss_and_grad(batch: dict, Ws: list, activation: str,
-                   neg_weight: float) -> tuple[float, list]:
+                   neg_weight: float,
+                   aggregator: str = "mean") -> tuple[float, list]:
     b = batch["b"]
-    E, norms, caches = _forward(batch, Ws, activation)
+    E, norms, caches = _forward(batch, Ws, activation, aggregator)
     v, u, g = E[:b], E[b:2 * b], E[2 * b:3 * b]
     sig = lambda x: 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
     a_pos = sig((v * u).sum(axis=1))
@@ -266,31 +290,57 @@ def _loss_and_grad(batch: dict, Ws: list, activation: str,
     dE[b:2 * b] += -(1 - a_pos)[:, None] * v
     dE[2 * b:3 * b] += neg_weight * a_neg[:, None] * v
     # through row normalization E = H/||H||
-    H_last = caches[-1][3]
     dH = (dE - (dE * E).sum(axis=1, keepdims=True) * E) / norms
     grads = [None] * len(Ws)
-    K = len(Ws)
+    K = len(batch["adj"])
     for j in reversed(range(K)):
-        Hprev, M, Z, Hn = caches[j]
+        Hprev, cache_mid, Z, Hn = caches[j]
         dZ = dH * _act_grad(Z, Hn, activation)
-        grads[j] = dZ.T @ M
-        dM = dZ @ Ws[j]
         self_idx, nbr_idx, counts = batch["adj"][K - 1 - j]
-        denom = (counts + 1).astype(np.float64)[:, None]
-        dM = dM / denom
-        dHprev = np.zeros_like(Hprev)
-        np.add.at(dHprev, self_idx, dM)
-        if len(nbr_idx):
-            owner = np.repeat(np.arange(len(counts)), counts)
-            np.add.at(dHprev, nbr_idx, dM[owner])
+        if aggregator == "mean":
+            M = cache_mid
+            grads[j] = dZ.T @ M
+            dM = dZ @ Ws[j]
+            denom = (counts + 1).astype(np.float64)[:, None]
+            dM = dM / denom
+            dHprev = np.zeros_like(Hprev)
+            np.add.at(dHprev, self_idx, dM)
+            if len(nbr_idx):
+                owner = np.repeat(np.arange(len(counts)), counts)
+                np.add.at(dHprev, nbr_idx, dM[owner])
+        else:
+            Wp, bp, Wself, Wneigh = Ws[4 * j:4 * j + 4]
+            Hnb, B, A, Pm, owner, Hs = cache_mid
+            gWself = dZ.T @ Hs
+            gWneigh = dZ.T @ Pm
+            dPm = dZ @ Wneigh
+            dHprev = np.zeros_like(Hprev)
+            np.add.at(dHprev, self_idx, dZ @ Wself)
+            if len(nbr_idx):
+                # max gradient: split dPm over argmax ties — exact for
+                # duplicate sampled neighbors (k copies × 1/k = 1×)
+                is_max = A == Pm[owner]
+                tie_cnt = np.zeros_like(Pm)
+                np.add.at(tie_cnt, owner, is_max.astype(np.float64))
+                dA = np.where(
+                    is_max,
+                    dPm[owner] / np.maximum(tie_cnt[owner], 1.0), 0.0)
+                dB = dA * _act_grad(B, A, activation)
+                gWp = dB.T @ Hnb
+                gbp = dB.sum(axis=0)
+                np.add.at(dHprev, nbr_idx, dB @ Wp)
+            else:
+                gWp = np.zeros_like(Wp)
+                gbp = np.zeros_like(bp)
+            grads[4 * j:4 * j + 4] = [gWp, gbp, gWself, gWneigh]
         dH = dHprev
     return loss, grads
 
 
 @ray.remote
 def _batch_grad_task(batch: dict, Ws: list, activation: str,
-                     neg_weight: float):
-    return _loss_and_grad(batch, Ws, activation, neg_weight)
+                     neg_weight: float, aggregator: str = "mean"):
+    return _loss_and_grad(batch, Ws, activation, neg_weight, aggregator)
 
 
 def _degree_cdf(graph: PartitionedGraph) -> np.ndarray:
@@ -336,9 +386,12 @@ def graphsage_train(
     negative_sample_weight: int = 20,
     batch_size: int = 100,
     seed: int = 42,
+    aggregator: str = "mean",      # 'mean' | 'pool'
 ) -> dict:
-    """Train mean-aggregator GraphSage; returns a catalog-storable model
-    {weights: [W_0..W_{K-1}] (stacked), dims, metrics}."""
+    """Train GraphSage (mean or max-pooling aggregator); returns a
+    catalog-storable model {weights (stacked), shapes, dims, metrics}."""
+    if aggregator not in ("mean", "pool"):
+        raise ValueError(f"unknown aggregator {aggregator!r}")
     n = graph.n
     features = np.asarray(features, dtype=np.float64)
     P, shard_refs = _adjacency_shards(graph)
@@ -351,7 +404,18 @@ def graphsage_train(
     for j in range(K):
         cols = features.shape[1] if j == 0 else embedding_dim
         bound = np.sqrt(6.0 / (embedding_dim + cols))
-        Ws.append(rng.uniform(-bound, bound, size=(embedding_dim, cols)))
+        if aggregator == "mean":
+            Ws.append(rng.uniform(-bound, bound,
+                                  size=(embedding_dim, cols)))
+        else:   # [W_pool, b_pool, W_self, W_neigh]
+            Ws.append(rng.uniform(-bound, bound,
+                                  size=(embedding_dim, cols)))
+            Ws.append(np.zeros(embedding_dim))
+            Ws.append(rng.uniform(-bound, bound,
+                                  size=(embedding_dim, cols)))
+            bd = np.sqrt(6.0 / (2 * embedding_dim))
+            Ws.append(rng.uniform(-bd, bd,
+                                  size=(embedding_dim, embedding_dim)))
 
     # fixed batch structures, built in parallel (reference batchTasks)
     node_perm = rng.permutation(n)
@@ -377,7 +441,8 @@ def graphsage_train(
         for _it in range(max_iterations):
             results = ray.get([
                 _batch_grad_task.remote(bref, Ws, activation,
-                                        float(negative_sample_weight))
+                                        float(negative_sample_weight),
+                                        aggregator)
                 for bref in batch_refs])
             losses = np.array([r[0] for r in results])
             total_loss = float(losses.mean())
@@ -385,9 +450,9 @@ def graphsage_train(
             prev_task_loss = losses
             mean_grads = [
                 np.mean([r[1][j] for r in results], axis=0)
-                for j in range(K)]
+                for j in range(len(Ws))]
             t += 1
-            for j in range(K):
+            for j in range(len(Ws)):
                 m[j] = 0.9 * m[j] + 0.1 * mean_grads[j]
                 v[j] = 0.999 * v[j] + 0.001 * mean_grads[j] ** 2
                 mh = m[j] / (1 - 0.9 ** t)
@@ -409,6 +474,7 @@ def graphsage_train(
         "embedding_dim": embedding_dim,
         "sample_sizes": list(sample_sizes),
         "activation": activation,
+        "aggregator": aggregator,
         "feature_dim": features.shape[1],
         "epoch_losses": epoch_losses,
         "did_converge": bool(converged),
@@ -443,6 +509,7 @@ def graphsage_embeddings(
     ws_ref = ray.put(Ws)
     sizes = list(model["sample_sizes"])
     activation = model["activation"]
+    aggregator = model.get("aggregator", "mean")
     seed = model.get("seed", 42) if seed is None else seed
     K = len(sizes)
 
@@ -461,7 +528,7 @@ def graphsage_embeddings(
             sets.append(nxt)
         X = _gather_features(feat_refs, P, sets[-1])
         E, _norms, _caches = _forward({"X": X, "adj": adj, "b": len(vids)},
-                                      Wl, activation)
+                                      Wl, activation, aggregator)
         return pd.DataFrame({"vid": vids, "emb": list(E)})
 
     nodes = rd.from_pandas(

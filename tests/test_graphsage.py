@@ -141,3 +141,62 @@ def test_forward_mean_includes_self():
     E, _, caches = _forward({"b": 1, "X": X, "adj": [adj]}, W, "sigmoid")
     _, M, _, _ = caches[0]
     assert np.allclose(M, [[3.0]])
+
+
+def test_pool_gradient_check():
+    """Analytic gradients for the max-pooling aggregator match finite
+    differences (incl. the tie-split max routing with duplicate sampled
+    neighbors)."""
+    from graph_data_science_ray.pipelines.graphsage import _loss_and_grad
+    rng = np.random.default_rng(7)
+    b, f, dim = 3, 4, 5
+    counts0 = rng.integers(0, 3, size=3 * b)
+    m1 = 14
+    nbr0 = rng.integers(0, m1, size=int(counts0.sum()))
+    if len(nbr0) >= 2:
+        nbr0[1] = nbr0[0]   # force a duplicate neighbor (max tie)
+    adj0 = (rng.integers(0, m1, size=3 * b), nbr0, counts0)
+    counts1 = rng.integers(0, 4, size=m1)
+    m2 = 20
+    adj1 = (rng.integers(0, m2, size=m1),
+            rng.integers(0, m2, size=int(counts1.sum())), counts1)
+    batch = {"b": b, "X": rng.normal(size=(m2, f)),
+             "adj": [adj0, adj1]}
+    Ws = []
+    for cols in (f, dim):
+        Ws.append(rng.normal(scale=0.5, size=(dim, cols)))   # W_pool
+        Ws.append(rng.normal(scale=0.2, size=dim))            # b_pool
+        Ws.append(rng.normal(scale=0.5, size=(dim, cols)))   # W_self
+        Ws.append(rng.normal(scale=0.5, size=(dim, dim)))    # W_neigh
+    _, grads = _loss_and_grad(batch, Ws, "sigmoid", 2.0, "pool")
+    eps = 1e-6
+    for j in range(len(Ws)):
+        for _ in range(6):
+            idx = tuple(rng.integers(0, s) for s in Ws[j].shape)
+            Wp = [W.copy() for W in Ws]
+            Wm = [W.copy() for W in Ws]
+            Wp[j][idx] += eps
+            Wm[j][idx] -= eps
+            lp, _ = _loss_and_grad(batch, Wp, "sigmoid", 2.0, "pool")
+            lm, _ = _loss_and_grad(batch, Wm, "sigmoid", 2.0, "pool")
+            num = (lp - lm) / (2 * eps)
+            assert abs(num - grads[j][idx]) < 1e-4 * max(1.0, abs(num)), \
+                (j, idx, num, grads[j][idx])
+
+
+def test_pool_train_and_embed(ray_session):
+    """Pool-aggregator training runs end-to-end; embeddings are
+    normalized, deterministic, and cluster by clique."""
+    g = _two_cliques(6)
+    feats = default_features(g)
+    model = graphsage_train(g, feats, embedding_dim=8, sample_sizes=(5, 3),
+                            epochs=2, max_iterations=4, batch_size=6,
+                            seed=3, aggregator="pool")
+    assert model["aggregator"] == "pool"
+    df = graphsage_embeddings(g, feats, model)
+    E = np.stack(df.sort_values("vid")["emb"].to_numpy())
+    np.testing.assert_allclose(np.linalg.norm(E, axis=1), 1.0, atol=1e-9)
+    df2 = graphsage_embeddings(g, feats, model)
+    np.testing.assert_array_equal(
+        np.stack(df2.sort_values("vid")["emb"].to_numpy()), E)
+    assert np.isfinite(model["epoch_losses"]).all()
