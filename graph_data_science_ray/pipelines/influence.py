@@ -36,6 +36,14 @@ def _sim_hash_u01(edge_idx: np.ndarray, sim: int, seed: int) -> np.ndarray:
     return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
+@ray.remote
+def _spread_task(csr, seeds: np.ndarray, p: float, mc: int,
+                 seed: int) -> float:
+    """One CELF re-evaluation against the shared plasma CSR."""
+    indptr, indices = csr
+    return _spread(indptr, indices, seeds, p, mc, seed)
+
+
 def _spread(indptr, indices, seeds: np.ndarray, p: float, mc: int,
             seed: int) -> float:
     """Mean IC-model spread of `seeds` over mc simulations — simulations
@@ -121,11 +129,14 @@ def celf_influence_maximization(
     Round 1 evaluates EVERY vertex's spread distributed (map_batches
     over the candidate list); later rounds use the lazy-forward queue,
     re-evaluating only the queue head until it stays on top (the CELF
-    property), each re-evaluation a driver-side vectorized cascade."""
-    from .walks import _graph_csr
-    indptr, indices = _graph_csr(graph)
+    property), each re-evaluation a small remote task against the
+    shared plasma CSR. The CSR is built worker-side and broadcast once
+    (graph_csr_ref) — the cascade genuinely needs global adjacency, so
+    the partitioning assumption is one CSR copy per node's object
+    store, never on the driver."""
+    from .walks import graph_csr_ref
     n = graph.n
-    csr_ref = ray.put((indptr, indices))
+    csr_ref = graph_csr_ref(graph)
     seeds_ref = ray.put(np.empty(0, dtype=np.int64))
     cands = rd.from_arrow(pa.table({
         "candidate": np.arange(n, dtype=np.int64)}))
@@ -152,8 +163,9 @@ def celf_influence_maximization(
             base_spread += -neg
         else:
             s = np.array(chosen + [cand], dtype=np.int64)
-            spread = _spread(indptr, indices, s, propagation_probability,
-                             monte_carlo_simulations, seed)
+            spread = ray.get(_spread_task.remote(
+                csr_ref, s, propagation_probability,
+                monte_carlo_simulations, seed))
             heapq.heappush(queue, (-(spread - base_spread), cand,
                                    len(chosen)))
     return pd.DataFrame({

@@ -58,6 +58,35 @@ def _graph_csr(graph: PartitionedGraph):
     return _csr(graph.n, np.concatenate(parts_s), np.concatenate(parts_d))
 
 
+@ray.remote
+def _csr_build_task(graph_path: str, n: int):
+    """Build the full CSR INSIDE a worker from the graph's out-flow
+    parquet — the result lands in plasma via the task return, so
+    broadcast-CSR consumers (influence cascades) never route O(E)
+    arrays through the driver."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    files = sorted(_glob.glob(f"{graph_path}/out/part=*/*.parquet"))
+    if files:
+        t = pa.concat_tables([pq.read_table(f, columns=["src", "dst"])
+                              for f in files])
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        src = dst = np.empty(0, np.int64)
+    return _csr(n, src, dst)
+
+
+def graph_csr_ref(graph) -> "ray.ObjectRef":
+    """ObjectRef to (indptr, indices) for broadcast-CSR consumers:
+    worker-built for parquet graphs (no driver O(E) pass), ray.put for
+    already-driver-resident array graphs."""
+    if graph.kind == "arrays":
+        return ray.put(_csr(graph.n, graph.src, graph.dst))
+    return _csr_build_task.remote(graph.path, graph.n)
+
+
 def _n_local(n: int, P: int, p: int) -> int:
     return max(0, (n + P - 1 - p) // P)
 
