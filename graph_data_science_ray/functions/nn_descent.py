@@ -6,26 +6,39 @@ introduce themselves to each other, keeping the best K — converges to
 the (approximate) exact KNN graph in O(log N) rounds without the
 O(N²) all-pairs scan.
 
-Ray-Data shape: the evolving neighbor-list table (node, nbr, sim,
-is_new) is a Dataset; one iteration =
-  1. neighbor join — forward ∪ reverse rows, bucketed by node; the
-     per-group kernel expands candidate pairs new×(new ∪ old)
-     (vectorized, sample-capped per node);
-  2. scoring — map_batches cosine against the broadcast id-sorted
-     embedding matrix (ray.put once, zero-copy per task);
-  3. update — both directions of each scored pair union'd with the
-     current lists, bucketed per-node top-K with is_new tracking.
+Ray shape: the evolving neighbor-list table (node, nbr, sim, is_new)
+lives in the object store as ``num_buckets`` per-bucket refs (bucket =
+node % num_buckets); one iteration is a fixed 3-stage task exchange:
+  1. scatter — each bucket emits its REVERSE rows routed to the
+     neighbor's bucket (forward rows never move: the table is already
+     node-bucketed);
+  2. join+score — per bucket, forward ∪ gathered reverse rows expand
+     candidate pairs new×(new ∪ old) (vectorized, sample-capped per
+     node), scored in place against the shared id-sorted embedding
+     matrix (one plasma object, zero-copy per task), routed back to
+     each endpoint's bucket;
+  3. update — per bucket, current list ∪ scored candidates → top-K
+     with is_new tracking; returns the new bucket block + its
+     new-entry count (the only thing the driver ever fetches).
 Convergence: new-entry count ≤ delta · N · K (the reference's
-updateThreshold). The embedding matrix broadcast is the same
-O(N·d)-per-node assumption the reference's shared arrays make; the
-candidate/update tables never land on the driver.
+updateThreshold).
+
+Why raw tasks and not Dataset groupby: this loop ran first as
+map_batches + groupby("__bucket").map_groups per stage. Two measured
+failure modes: (a) ``union`` + groupby SUM the two sides' block lists,
+so blocks double every iteration (17→1088 over 6 rounds at constant
+~3k rows) unless a repartition — one more all-to-all — is added; (b)
+each sort-based groupby carries ~2-4 s fixed cost per iteration at any
+size. The manual exchange is 3·B tasks per iteration with the same
+partitioning a multi-node hash shuffle would use, and the per-bucket
+blocks never touch the driver. The embedding matrix broadcast is the
+same O(N·d)-per-node assumption the reference's shared arrays make.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -55,6 +68,150 @@ def _assemble_matrix(id_col: str, vec_col: str, *tables):
     return ids[order], m[order]
 
 
+def _route(df: pd.DataFrame, num_buckets: int):
+    """Split rows by node % num_buckets (tuple of DataFrames)."""
+    b = df["node"].to_numpy(np.int64) % num_buckets
+    return tuple(df[b == i] for i in range(num_buckets))
+
+
+def _seq_within(node: np.ndarray) -> np.ndarray:
+    """0,1,2,… restarting at each run of equal (sorted) node values."""
+    start = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+    return np.arange(len(node)) - np.repeat(
+        start, np.diff(np.r_[start, len(node)]))
+
+
+def _candidate_core(group: pd.DataFrame, it: int, cap: int, seed: int,
+                    sids: np.ndarray, M: np.ndarray) -> pd.DataFrame:
+    """new×all pair expansion within each node's joined list, scored in
+    place against the shared matrix and emitted as directed update rows
+    (both directions). Lexsorts up front, so shard arrival order is
+    irrelevant."""
+    node = group["node"].to_numpy(np.int64)
+    nbr = group["nbr"].to_numpy(np.int64)
+    new = group["is_new"].to_numpy(bool)
+    order = np.lexsort((nbr, node))
+    node, nbr, new = node[order], nbr[order], new[order]
+    # dedup (node, nbr) — forward+reverse can repeat
+    keep = np.r_[True, (node[1:] != node[:-1]) | (nbr[1:] != nbr[:-1])]
+    node, nbr, new = node[keep], nbr[keep], new[keep]
+    # sample-cap each node's list (hash-ordered, deterministic)
+    if cap > 0:
+        r = _hash_u01(nbr * np.int64(31) + node, seed + 7919 * it)
+        order2 = np.lexsort((r, node))
+        node, nbr, new = node[order2], nbr[order2], new[order2]
+        keep2 = _seq_within(node) < cap
+        node, nbr, new = node[keep2], nbr[keep2], new[keep2]
+        order = np.lexsort((nbr, node))
+        node, nbr, new = node[order], nbr[order], new[order]
+    empty = pd.DataFrame({"node": np.empty(0, np.int64),
+                          "nbr": np.empty(0, np.int64),
+                          "sim": np.empty(0, np.float64),
+                          "was": np.empty(0, bool)})
+    if len(node) == 0:
+        return empty
+    from ..pipelines.triangles import _pairs_within_groups
+    change = np.flatnonzero(np.r_[node[1:] != node[:-1], True]) + 1
+    group_end = np.repeat(change, np.diff(np.r_[0, change]))
+    li, ri = _pairs_within_groups(group_end)
+    if len(li) == 0:
+        return empty
+    # at least one side new (Dong et al.: new×new ∪ new×old)
+    m = new[li] | new[ri]
+    a, b = nbr[li][m], nbr[ri][m]
+    ne = a != b
+    a, b = a[ne], b[ne]
+    if len(a) == 0:
+        return empty
+    # dedup + score in place against the shared matrix
+    pk = np.unique(np.stack([a, b], axis=1), axis=0)
+    a, b = pk[:, 0], pk[:, 1]
+    ra = np.searchsorted(sids, a)
+    rb = np.searchsorted(sids, b)
+    sim = np.round(np.einsum("ij,ij->i", M[ra], M[rb]), 12)
+    return pd.DataFrame({
+        "node": np.concatenate([a, b]),
+        "nbr": np.concatenate([b, a]),
+        "sim": np.concatenate([sim, sim]),
+        "was": np.zeros(2 * len(a), bool),
+    })
+
+
+def _update_core(group: pd.DataFrame, k_eff: int) -> pd.DataFrame:
+    """Per-node merge of current list + scored candidates → top-K,
+    is_new = entry wasn't in the previous list."""
+    node = group["node"].to_numpy(np.int64)
+    nbr = group["nbr"].to_numpy(np.int64)
+    sim = group["sim"].to_numpy(np.float64)
+    old = group["was"].to_numpy(bool)
+    # dedup (node, nbr): the old-flagged duplicate wins (same sim —
+    # both sides score identically against the same matrix)
+    order = np.lexsort((~old, nbr, node))
+    node, nbr, sim, old = node[order], nbr[order], sim[order], old[order]
+    keep = np.r_[True, (node[1:] != node[:-1]) | (nbr[1:] != nbr[:-1])]
+    node, nbr, sim, old = node[keep], nbr[keep], sim[keep], old[keep]
+    # per-node top-K by (sim desc, nbr asc)
+    order = np.lexsort((nbr, -sim, node))
+    node, nbr, sim, old = node[order], nbr[order], sim[order], old[order]
+    keep2 = _seq_within(node) < k_eff
+    return pd.DataFrame({"node": node[keep2], "nbr": nbr[keep2],
+                         "sim": sim[keep2], "is_new": ~old[keep2]})
+
+
+@ray.remote
+def _init_scatter(lo: int, hi: int, n: int, k_eff: int, seed: int,
+                  num_buckets: int, sids, M):
+    """k hash-seeded random neighbors for positions [lo, hi), scored,
+    routed to each node's bucket."""
+    pos = np.arange(lo, hi, dtype=np.int64)
+    node_p, nbr_p = [], []
+    for j in range(k_eff):
+        off = (_hash_u01(pos, seed * 1000 + j) * (n - 1)).astype(np.int64) + 1
+        node_p.append(pos)
+        nbr_p.append((pos + off) % n)
+    node0 = np.concatenate(node_p)
+    nbr0 = np.concatenate(nbr_p)
+    sim0 = np.einsum("ij,ij->i", M[node0], M[nbr0])
+    df = pd.DataFrame({"node": sids[node0], "nbr": sids[nbr0],
+                       "sim": np.round(sim0, 12),
+                       "is_new": np.ones(len(node0), bool)})
+    return _route(df, num_buckets)
+
+
+@ray.remote
+def _concat_shards(*shards):
+    return pd.concat(list(shards), ignore_index=True)
+
+
+@ray.remote
+def _rev_scatter(num_buckets: int, cur_df: pd.DataFrame):
+    """Reverse rows of one bucket, routed by the reversed node."""
+    rev = pd.DataFrame({"node": cur_df["nbr"].to_numpy(np.int64),
+                        "nbr": cur_df["node"].to_numpy(np.int64),
+                        "is_new": cur_df["is_new"].to_numpy(bool)})
+    return _route(rev, num_buckets)
+
+
+@ray.remote
+def _join_score(it: int, cap: int, seed: int, num_buckets: int,
+                sids, M, cur_df: pd.DataFrame, *rev_shards):
+    joined = pd.concat(
+        [cur_df[["node", "nbr", "is_new"]], *rev_shards],
+        ignore_index=True)
+    out = _candidate_core(joined, it, cap, seed, sids, M)
+    return _route(out, num_buckets)
+
+
+@ray.remote(num_returns=2)
+def _merge_update(k_eff: int, cur_df: pd.DataFrame, *upd_shards):
+    marked = pd.DataFrame({"node": cur_df["node"], "nbr": cur_df["nbr"],
+                           "sim": cur_df["sim"],
+                           "was": np.ones(len(cur_df), bool)})
+    merged = pd.concat([marked, *upd_shards], ignore_index=True)
+    new_df = _update_core(merged, k_eff)
+    return new_df, int(new_df["is_new"].sum())
+
+
 def knn_descent(
     embeddings: rd.Dataset,
     k: int = 10,
@@ -79,154 +236,37 @@ def knn_descent(
     k_eff = min(k, n - 1)
     cap = max(k_eff, int(np.ceil(sample_rate * 2 * k_eff)))
 
-    # --- init: k random distinct neighbors per node (hash-seeded),
-    # built + scored distributed over position ranges ----------------------
-    def init_kernel(t: pa.Table) -> pd.DataFrame:
-        pos = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sids = ray.get(ids_ref)
-        M = ray.get(mat_ref)
-        node_p, nbr_p = [], []
-        for j in range(k_eff):
-            off = (_hash_u01(pos, seed * 1000 + j)
-                   * (n - 1)).astype(np.int64) + 1
-            node_p.append(pos)
-            nbr_p.append((pos + off) % n)
-        node0 = np.concatenate(node_p)
-        nbr0 = np.concatenate(nbr_p)
-        sim0 = np.einsum("ij,ij->i", M[node0], M[nbr0])
-        return pd.DataFrame({
-            "node": sids[node0], "nbr": sids[nbr0],
-            "sim": np.round(sim0, 12),
-            "is_new": np.ones(len(node0), bool)})
-
-    cur = rd.range(n, override_num_blocks=num_buckets).map_batches(
-        init_kernel, batch_format="pyarrow")
-
-    def bucket_node(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = df["node"].to_numpy() % num_buckets
-        return df
-
-    def candidate_kernel(group: pd.DataFrame, it: int) -> pd.DataFrame:
-        """new×all pair expansion within each node's joined list, scored
-        in place against the broadcast matrix and emitted as directed
-        update rows (both directions) — fusing scoring here removes a
-        whole pipeline stage per iteration."""
-        node = group["node"].to_numpy(np.int64)
-        nbr = group["nbr"].to_numpy(np.int64)
-        new = group["is_new"].to_numpy(bool)
-        order = np.lexsort((nbr, node))
-        node, nbr, new = node[order], nbr[order], new[order]
-        # dedup (node, nbr) — forward+reverse can repeat
-        keep = np.r_[True, (node[1:] != node[:-1]) | (nbr[1:] != nbr[:-1])]
-        node, nbr, new = node[keep], nbr[keep], new[keep]
-        # sample-cap each node's list (hash-ordered, deterministic)
-        if cap > 0:
-            r = _hash_u01(nbr * np.int64(31) + node, seed + 7919 * it)
-            order2 = np.lexsort((r, node))
-            node, nbr, new = node[order2], nbr[order2], new[order2]
-            start = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-            seq = np.arange(len(node)) - np.repeat(
-                start, np.diff(np.r_[start, len(node)]))
-            keep2 = seq < cap
-            node, nbr, new = node[keep2], nbr[keep2], new[keep2]
-            order = np.lexsort((nbr, node))
-            node, nbr, new = node[order], nbr[order], new[order]
-        if len(node) == 0:
-            e = np.empty(0, np.int64)
-            return pd.DataFrame({"a": e, "b": e})
-        from ..pipelines.triangles import _pairs_within_groups
-        change = np.flatnonzero(np.r_[node[1:] != node[:-1], True]) + 1
-        group_end = np.repeat(change, np.diff(np.r_[0, change]))
-        li, ri = _pairs_within_groups(group_end)
-        if len(li) == 0:
-            e = np.empty(0, np.int64)
-            return pd.DataFrame({"node": e, "nbr": e,
-                                 "sim": np.empty(0, np.float64),
-                                 "was": np.empty(0, bool)})
-        # at least one side new (Dong et al.: new×new ∪ new×old)
-        m = new[li] | new[ri]
-        a, b = nbr[li][m], nbr[ri][m]
-        ne = a != b
-        a, b = a[ne], b[ne]
-        # dedup + score in place against the broadcast matrix
-        if len(a):
-            pk = np.unique(np.stack([a, b], axis=1), axis=0)
-            a, b = pk[:, 0], pk[:, 1]
-        sids = ray.get(ids_ref)
-        M = ray.get(mat_ref)
-        ra = np.searchsorted(sids, a)
-        rb = np.searchsorted(sids, b)
-        sim = np.round(np.einsum("ij,ij->i", M[ra], M[rb]), 12)
-        return pd.DataFrame({
-            "node": np.concatenate([a, b]),
-            "nbr": np.concatenate([b, a]),
-            "sim": np.concatenate([sim, sim]),
-            "was": np.zeros(2 * len(a), bool),
-        })
-
-    def _seq_within(node: np.ndarray) -> np.ndarray:
-        """0,1,2,… restarting at each run of equal (sorted) node values."""
-        start = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-        return np.arange(len(node)) - np.repeat(
-            start, np.diff(np.r_[start, len(node)]))
-
-    def update_kernel(group: pd.DataFrame) -> pd.DataFrame:
-        """Per-node merge of current list + scored candidates → top-K,
-        is_new = entry wasn't in the previous list."""
-        node = group["node"].to_numpy(np.int64)
-        nbr = group["nbr"].to_numpy(np.int64)
-        sim = group["sim"].to_numpy(np.float64)
-        old = group["was"].to_numpy(bool)
-        # dedup (node, nbr): the old-flagged duplicate wins (same sim —
-        # both sides score identically against the same matrix)
-        order = np.lexsort((~old, nbr, node))
-        node, nbr, sim, old = node[order], nbr[order], sim[order], old[order]
-        keep = np.r_[True, (node[1:] != node[:-1]) | (nbr[1:] != nbr[:-1])]
-        node, nbr, sim, old = node[keep], nbr[keep], sim[keep], old[keep]
-        # per-node top-K by (sim desc, nbr asc)
-        order = np.lexsort((nbr, -sim, node))
-        node, nbr, sim, old = node[order], nbr[order], sim[order], old[order]
-        keep2 = _seq_within(node) < k_eff
-        return pd.DataFrame({"node": node[keep2], "nbr": nbr[keep2],
-                             "sim": sim[keep2], "is_new": ~old[keep2]})
+    # init: scored random lists built over position slices, scattered
+    # to node buckets; cur = one DataFrame ref per bucket from here on
+    bounds = np.linspace(0, n, num_buckets + 1).astype(int)
+    init_shards = [
+        _init_scatter.options(num_returns=num_buckets).remote(
+            int(lo), int(hi), n, k_eff, seed, num_buckets,
+            ids_ref, mat_ref)
+        for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+    cur = [_concat_shards.remote(*(s[b] for s in init_shards))
+           for b in range(num_buckets)]
 
     threshold = max(1, int(delta * n * k_eff))
     for it in range(max_iterations):
-        def fwd_rev(df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({
-                "node": np.concatenate([df["node"].to_numpy(np.int64),
-                                        df["nbr"].to_numpy(np.int64)]),
-                "nbr": np.concatenate([df["nbr"].to_numpy(np.int64),
-                                       df["node"].to_numpy(np.int64)]),
-                "is_new": np.concatenate([df["is_new"].to_numpy(bool)] * 2),
-            })
-            out["__bucket"] = out["node"].to_numpy() % num_buckets
-            return out
-
-        updates = (cur.map_batches(fwd_rev, batch_format="pandas")
-                   .groupby("__bucket")
-                   .map_groups(lambda g, it=it: candidate_kernel(g, it),
-                               batch_format="pandas"))
-
-        def mark_old(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": df["node"], "nbr": df["nbr"],
-                                 "sim": df["sim"],
-                                 "was": np.ones(len(df), bool)})
-
-        merged = (cur.map_batches(mark_old, batch_format="pandas")
-                  .union(updates)
-                  .map_batches(bucket_node, batch_format="pandas")
-                  .groupby("__bucket")
-                  .map_groups(update_kernel, batch_format="pandas"))
-        cur = merged.materialize()
-        changed = int(cur.map_batches(
-            lambda df: pd.DataFrame({"c": [int(df["is_new"].sum())]}),
-            batch_format="pandas").sum(on="c") or 0)
+        rev = [_rev_scatter.options(num_returns=num_buckets)
+               .remote(num_buckets, cur[b]) for b in range(num_buckets)]
+        upd = [_join_score.options(num_returns=num_buckets)
+               .remote(it, cap, seed, num_buckets, ids_ref, mat_ref,
+                       cur[b], *(r[b] for r in rev))
+               for b in range(num_buckets)]
+        nxt, counts = [], []
+        for b in range(num_buckets):
+            new_b, cnt_b = _merge_update.remote(
+                k_eff, cur[b], *(u[b] for u in upd))
+            nxt.append(new_b)
+            counts.append(cnt_b)
+        cur = nxt
+        changed = sum(ray.get(counts))
         if changed <= threshold:
             break
 
-    out = cur.to_pandas()
+    out = pd.concat(ray.get(cur), ignore_index=True)
     out = out.sort_values(["node", "sim", "nbr"],
                           ascending=[True, False, True]).reset_index(drop=True)
     out["rank"] = out.groupby("node", sort=False).cumcount() + 1
