@@ -560,6 +560,28 @@ def q_betweenness(sf_dir: str):
     })
 
 
+def q_betweenness_stars(sf_dir: str):
+    """Betweenness from the 100 smallest customer keys as sources on the
+    customer–nation star forest — the closed-form-checkable case: every
+    leaf→leaf shortest path routes through its star's nation center, so
+    score(nation) = |sources ∩ leaves| · (leaves − 1) and leaves score 0.
+    Exercises the same batched forward-σ / backward-δ Brandes engine
+    path as ``betweenness`` (which stays rows-only on the general
+    co-supply graph) against an exact SQL oracle."""
+    from .pipelines.betweenness import betweenness
+    g = _customer_nation_graph(sf_dir)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    df = betweenness(g, sources=ck[:100])
+    nk = np.unique(cust["c_nationkey"].to_numpy(np.int64))
+    df = df[df["vid"].isin(nk + _CUST_VID_OFFSET)]
+    return pa.table({
+        "n_nationkey": df["vid"].to_numpy(np.int64) - _CUST_VID_OFFSET,
+        "score": np.round(df["score"].to_numpy(), _ROUND),
+    })
+
+
 def q_k1_coloring(sf_dir: str):
     """Greedy parallel coloring of the customer–nation bipartite graph
     (rows-only; the complete co-supply graph needs > 62 colors which
@@ -1746,6 +1768,88 @@ SELECT doc_id,
        MIN(doc_id) OVER (PARTITION BY t) AS cluster_id,
        doc_id = MIN(doc_id) OVER (PARTITION BY t) AS keep
 FROM norm ORDER BY doc_id""",
+    "betweenness_stars": """
+WITH src AS (
+    SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100
+),
+per AS (
+    -- each star's center lies on every (ordered) leaf->leaf shortest
+    -- path of its own star and on nothing else
+    SELECT c_nationkey AS nk, COUNT(*) AS cnt,
+           SUM(CASE WHEN c_custkey IN (SELECT c_custkey FROM src)
+                    THEN 1 ELSE 0 END) AS s_cnt
+    FROM customer GROUP BY c_nationkey
+)
+SELECT nk AS n_nationkey,
+       ROUND(CAST(s_cnt * (cnt - 1) AS DOUBLE), 6) AS score
+FROM per ORDER BY n_nationkey""",
+    "quality_scores": r"""
+WITH b AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           GREATEST(length(text), 1) AS nc,
+           regexp_extract_all(text, '[A-Za-z0-9_'']+') AS words,
+           length(regexp_replace(text, '[A-Za-z0-9_\s]', '', 'g'))
+               AS n_punct,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars, nc, n_punct, n_digit, n_upper,
+           CAST(len(words) AS BIGINT) AS n_words,
+           GREATEST(len(words), 1) AS nw,
+           len(list_filter(words, w -> list_contains(
+               ['the','and','of','to','a','in','is','that','it','for'],
+               lower(w)))) AS n_stop,
+           CASE WHEN len(words) = 0 THEN 0.0
+                ELSE list_aggregate(list_transform(words,
+                         w -> CAST(length(w) AS DOUBLE)), 'sum')
+                     / len(words) END AS mwl
+    FROM b
+)
+SELECT doc_id, n_chars, n_words,
+       ROUND(CAST(n_punct AS DOUBLE) / nc, 6) AS punct_ratio,
+       ROUND(CAST(n_digit AS DOUBLE) / nc, 6) AS digit_ratio,
+       ROUND(CAST(n_upper AS DOUBLE) / nc, 6) AS upper_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / nw, 6) AS stop_ratio,
+       ROUND(mwl, 6) AS mean_word_len,
+       (CASE WHEN CAST(n_punct AS DOUBLE) / nc < 0.2
+             THEN 0.25 ELSE 0.0 END
+        + CASE WHEN CAST(n_stop AS DOUBLE) / nw > 0.05
+               THEN 0.25 ELSE 0.0 END
+        + CASE WHEN mwl BETWEEN 2.5 AND 9.0 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_chars >= 50 THEN 0.25 ELSE 0.0 END)
+           AS quality_score
+FROM m ORDER BY doc_id""",
+    "lang_id": r"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9_'']+') AS t
+    FROM documents
+),
+langs(lang, stops) AS (VALUES
+    ('de', ['der','die','das','und','ist','nicht','ein','mit','auf','zu']),
+    ('en', ['the','and','of','to','a','in','is','that','it','for']),
+    ('es', ['el','la','los','las','y','es','un','una','en','por','que']),
+    ('fr', ['le','la','les','et','est','un','une','dans','pour','que']),
+    ('it', ['il','la','di','e','che','un','una','per','non','sono'])
+),
+hits AS (
+    SELECT doc_id, lang,
+           len(list_filter(t, x -> list_contains(stops, x))) AS h
+    FROM toks CROSS JOIN langs
+),
+ranked AS (
+    -- the kernel scans languages in sorted order keeping strict
+    -- improvements: max hits, lexicographically-first language wins
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY h DESC, lang) AS rn
+    FROM hits
+)
+SELECT doc_id, lang AS lang_pred FROM ranked WHERE rn = 1
+ORDER BY doc_id""",
     "token_counts": r"""
 SELECT doc_id,
        CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
@@ -1819,6 +1923,7 @@ _ALL_QUERIES = {
     "louvain": q_louvain,
     "hits": q_hits,
     "betweenness": q_betweenness,
+    "betweenness_stars": q_betweenness_stars,
     "k1_coloring": q_k1_coloring,
     "kmeans": q_kmeans,
     "random_walks": q_random_walks,
