@@ -1822,6 +1822,47 @@ SELECT doc_id, n_chars, n_words,
         + CASE WHEN n_chars >= 50 THEN 0.25 ELSE 0.0 END)
            AS quality_score
 FROM m ORDER BY doc_id""",
+    "fingerprints": r"""
+WITH n AS (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+    FROM documents
+),
+w AS (
+    SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i
+    FROM n WHERE length(s) >= 8
+),
+h AS (
+    -- window hash = sum of byte * 1000003^(7-j) mod 2^64 (the numpy
+    -- uint64 wraparound), via HUGEINT partial sums; constants are
+    -- B^7..B^0 mod 2^64
+    SELECT doc_id, CAST((
+        ascii(s[i])::HUGEINT   * 12924618581234127435 +
+        ascii(s[i+1])::HUGEINT * 10923514805226455897 +
+        ascii(s[i+2])::HUGEINT * 14453212906556403763 +
+        ascii(s[i+3])::HUGEINT * 14003818205314896721 +
+        ascii(s[i+4])::HUGEINT * 1000009000027000027 +
+        ascii(s[i+5])::HUGEINT * 1000006000009 +
+        ascii(s[i+6])::HUGEINT * 1000003 +
+        ascii(s[i+7])::HUGEINT
+    ) % 18446744073709551616 AS UBIGINT) AS hash
+    FROM w
+),
+long_docs AS (
+    SELECT doc_id, MIN(hash) AS fingerprint FROM h GROUP BY doc_id
+),
+short_docs AS (
+    -- < one window: Horner over the whole stream, same modulus
+    SELECT doc_id, CAST(list_reduce(
+        list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(1, length(s) + 1),
+                           j -> CAST(ascii(s[j]) AS HUGEINT))),
+        (a, b) -> (a * 1000003 + b) % 18446744073709551616
+    ) AS UBIGINT) AS fingerprint
+    FROM n WHERE length(s) < 8
+)
+SELECT * FROM long_docs UNION ALL SELECT * FROM short_docs
+ORDER BY doc_id""",
     "lang_id": r"""
 WITH toks AS (
     SELECT doc_id,
