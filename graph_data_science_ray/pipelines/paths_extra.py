@@ -3,9 +3,22 @@ shortest loopless paths — parity with paths/dijkstra/Dijkstra.java,
 paths/astar/AStar.java, paths/yens/Yens.java.
 
 These are PER-QUERY lookups (one source/target pair), sequential in the
-reference too; they run on a CSR streamed once from the partitioned
-blocks. The distributed all-targets form is
-``traversal.shortest_path_predecessors``."""
+reference too. The driver runs the heap; adjacency comes from a backend
+chosen by graph kind:
+
+  - arrays kind (small by contract): a driver-local CSR.
+  - parquet kind: ``_ShardedAdj`` — one zero-CPU lookup actor per
+    partition holds that partition's out-edge CSR (vid % P ownership,
+    the same layout the superstep engine uses) and serves batched
+    adjacency slices. The driver holds only O(V) dist/pred arrays plus
+    an adjacency cache of the vertices the search actually touched —
+    never the O(E) edge set. Lookups are amortized by prefetching the
+    current heap contents (the next settles) in one RPC, and Yen's
+    repeated spur searches re-hit the warm cache.
+
+The distributed all-targets form is
+``traversal.shortest_path_predecessors``.
+"""
 
 from __future__ import annotations
 
@@ -13,61 +26,155 @@ import heapq
 
 import numpy as np
 import pandas as pd
+import ray
 
 from ..stages.superstep import PartitionedGraph
 
+_PREFETCH = 256  # heap entries pulled per adjacency RPC
 
-def _weighted_csr(graph: PartitionedGraph):
-    if graph.kind == "arrays":
-        src, dst = graph.src, graph.dst
-        w = (graph.weight if graph.weight is not None
-             else np.ones(len(src)))
-    else:
-        cols = ("src", "dst", "weight") if graph.weighted else ("src", "dst")
-        parts = {c: [] for c in ("src", "dst", "weight")}
-        for batch in graph.edges_dataset(cols, flow="out").iter_batches(
-                batch_size=1 << 20, batch_format="pyarrow"):
-            parts["src"].append(batch["src"].to_numpy(zero_copy_only=False))
-            parts["dst"].append(batch["dst"].to_numpy(zero_copy_only=False))
-            parts["weight"].append(
-                batch["weight"].to_numpy(zero_copy_only=False)
-                if "weight" in batch.column_names
-                else np.ones(len(parts["src"][-1])))
-        if not parts["src"]:
-            e = np.empty(0, np.int64)
-            return (np.zeros(graph.n + 1, np.int64), e,
-                    np.empty(0, np.float64))
-        src = np.concatenate(parts["src"])
-        dst = np.concatenate(parts["dst"])
-        w = np.concatenate(parts["weight"])
+
+class _LocalAdj:
+    """Driver-local CSR accessor (arrays-kind graphs)."""
+
+    def __init__(self, indptr, indices, weights):
+        self.indptr, self.indices, self.weights = indptr, indices, weights
+
+    def get(self, v: int):
+        lo, hi = self.indptr[v], self.indptr[v + 1]
+        return self.indices[lo:hi], self.weights[lo:hi]
+
+    def prefetch(self, vids) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+@ray.remote(num_cpus=0)
+class _AdjShard:
+    """One partition's out-edge CSR, loaded once, serving batched
+    adjacency lookups. num_cpus=0: a lookup service, not a compute
+    pool — full-CPU actors would hold reservations and starve
+    concurrent Dataset stages (see CLAUDE.md invariants)."""
+
+    def __init__(self, files: list[str], weighted: bool):
+        import pyarrow.parquet as pq
+        cols = ["src", "dst"] + (["weight"] if weighted else [])
+        srcs, dsts, ws = [], [], []
+        for f in files:
+            t = pq.read_table(f, columns=cols)
+            srcs.append(t["src"].to_numpy(zero_copy_only=False))
+            dsts.append(t["dst"].to_numpy(zero_copy_only=False))
+            ws.append(t["weight"].to_numpy(zero_copy_only=False)
+                      if weighted else np.ones(len(srcs[-1])))
+        if srcs:
+            src = np.concatenate(srcs)
+            order = np.lexsort((np.concatenate(dsts), src))
+            self.src = src[order]
+            self.dst = np.concatenate(dsts)[order]
+            self.w = np.concatenate(ws)[order].astype(np.float64)
+        else:
+            self.src = np.empty(0, np.int64)
+            self.dst = np.empty(0, np.int64)
+            self.w = np.empty(0, np.float64)
+
+    def adj(self, vids: np.ndarray):
+        """(offsets[len+1], nbrs, weights) — concatenated dst-sorted
+        adjacency slices for the requested vertices."""
+        lo = np.searchsorted(self.src, vids, side="left")
+        hi = np.searchsorted(self.src, vids, side="right")
+        offsets = np.zeros(len(vids) + 1, dtype=np.int64)
+        offsets[1:] = np.cumsum(hi - lo)
+        if offsets[-1] == 0:
+            return offsets, np.empty(0, np.int64), np.empty(0, np.float64)
+        idx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)])
+        return offsets, self.dst[idx], self.w[idx]
+
+
+class _ShardedAdj:
+    """Actor-shard-backed adjacency with a driver-side cache."""
+
+    def __init__(self, graph: PartitionedGraph):
+        import re
+        self.P = graph.num_parts_layout
+        by_part: dict[int, list[str]] = {p: [] for p in range(self.P)}
+        for f in graph.flow_files("out"):
+            m = re.search(r"part=(\d+)", f)
+            by_part[int(m.group(1))].append(f)
+        self.actors = [
+            _AdjShard.remote(by_part[p], graph.weighted)
+            for p in range(self.P)]
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def prefetch(self, vids) -> None:
+        need: dict[int, list[int]] = {}
+        for v in vids:
+            v = int(v)
+            if v not in self.cache:
+                need.setdefault(v % self.P, []).append(v)
+        if not need:
+            return
+        futs = {p: self.actors[p].adj.remote(
+                    np.asarray(vs, dtype=np.int64))
+                for p, vs in need.items()}
+        for p, fut in futs.items():
+            offsets, nbrs, w = ray.get(fut)
+            for i, v in enumerate(need[p]):
+                a, b = offsets[i], offsets[i + 1]
+                self.cache[v] = (nbrs[a:b], w[a:b])
+
+    def get(self, v: int):
+        if v not in self.cache:
+            self.prefetch([v])
+        return self.cache[v]
+
+    def close(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+def _local_csr(graph: PartitionedGraph) -> _LocalAdj:
+    src, dst = graph.src, graph.dst
+    w = (graph.weight if graph.weight is not None
+         else np.ones(len(src)))
     order = np.lexsort((dst, src))
     s, d, ww = src[order], dst[order], w[order].astype(np.float64)
     indptr = np.searchsorted(s, np.arange(graph.n + 1))
-    return indptr, d, ww
+    return _LocalAdj(indptr, d, ww)
 
 
-def _dijkstra_csr(indptr, indices, weights, source: int, target: int,
-                  heuristic: np.ndarray | None = None,
-                  banned_edges: set | None = None,
-                  banned_nodes: np.ndarray | None = None):
-    """Binary-heap Dijkstra / A* over the CSR; returns (cost, path) or
-    (inf, []). Deterministic tie-break: smaller vid pops first. The
-    per-settle relaxation is vectorized over the vertex's whole
-    adjacency slice — only improved entries touch the Python heap."""
-    n = len(indptr) - 1
+def _adjacency(graph: PartitionedGraph):
+    """Backend by graph kind: driver CSR for (small) arrays graphs,
+    shard actors for parquet graphs."""
+    if graph.kind == "arrays":
+        return _local_csr(graph)
+    return _ShardedAdj(graph)
+
+
+def _dijkstra(adj, n: int, source: int, target: int,
+              heuristic: np.ndarray | None = None,
+              banned_edges: set | None = None,
+              banned_nodes: np.ndarray | None = None):
+    """Binary-heap Dijkstra / A* over an adjacency accessor; returns
+    (cost, path) or (inf, []). Deterministic tie-break: smaller vid pops
+    first. The per-settle relaxation is vectorized over the vertex's
+    whole adjacency slice — only improved entries touch the Python
+    heap. Sharded backends are fed by prefetching the heap's pending
+    entries (the upcoming settles) in one batched RPC."""
     dist = np.full(n, np.inf)
     pred = np.full(n, -1, dtype=np.int64)
     dist[source] = 0.0
     h0 = 0.0 if heuristic is None else heuristic[source]
     heap = [(h0, source)]
     done = np.zeros(n, dtype=bool)
-    # banned edges grouped by source for vectorized masking
     banned_by_src: dict[int, np.ndarray] = {}
     if banned_edges:
         for (a, b) in banned_edges:
             banned_by_src.setdefault(a, []).append(b)
         banned_by_src = {a: np.asarray(bs, dtype=np.int64)
                          for a, bs in banned_by_src.items()}
+    adj.prefetch([source])
     while heap:
         _, v = heapq.heappop(heap)
         if done[v]:
@@ -75,9 +182,12 @@ def _dijkstra_csr(indptr, indices, weights, source: int, target: int,
         if v == target:
             break
         done[v] = True
-        lo, hi = indptr[v], indptr[v + 1]
-        nb = indices[lo:hi]
-        nd = dist[v] + weights[lo:hi]
+        if isinstance(adj, _ShardedAdj) and v not in adj.cache:
+            hints = {u for _, u in heap[:_PREFETCH] if not done[u]}
+            hints.add(v)
+            adj.prefetch(hints)
+        nb, wslice = adj.get(v)
+        nd = dist[v] + wslice
         if len(nb) > 1:
             # parallel edges: keep the cheapest per neighbor (slice is
             # dst-sorted, duplicates adjacent)
@@ -116,8 +226,11 @@ def _dijkstra_csr(indptr, indices, weights, source: int, target: int,
 def dijkstra_path(graph: PartitionedGraph, source: int, target: int,
                   ) -> tuple[float, list[int]]:
     """(cost, path) single-pair shortest path."""
-    indptr, indices, weights = _weighted_csr(graph)
-    return _dijkstra_csr(indptr, indices, weights, source, target)
+    adj = _adjacency(graph)
+    try:
+        return _dijkstra(adj, graph.n, source, target)
+    finally:
+        adj.close()
 
 
 def astar_path(graph: PartitionedGraph, source: int, target: int,
@@ -132,26 +245,37 @@ def astar_path(graph: PartitionedGraph, source: int, target: int,
     a = (np.sin(dphi / 2) ** 2
          + np.cos(lat) * np.cos(lat_t) * np.sin(dlmb / 2) ** 2)
     heuristic = 2 * 6371.0 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
-    indptr, indices, weights = _weighted_csr(graph)
-    return _dijkstra_csr(indptr, indices, weights, source, target,
+    adj = _adjacency(graph)
+    try:
+        return _dijkstra(adj, graph.n, source, target,
                          heuristic=heuristic)
+    finally:
+        adj.close()
 
 
 def yens_k_shortest(graph: PartitionedGraph, source: int, target: int,
                     k: int = 3) -> pd.DataFrame:
     """(rank, total_cost, path) — Yen's K loopless shortest paths
     (Yens.java): spur-node deviations with the root's edges blocked and
-    root-path nodes banned, candidates kept in a min-heap."""
-    indptr, indices, weights = _weighted_csr(graph)
-    cost0, p0 = _dijkstra_csr(indptr, indices, weights, source, target)
+    root-path nodes banned, candidates kept in a min-heap. All spur
+    searches share one adjacency backend (and, sharded, its warm
+    driver cache)."""
+    adj = _adjacency(graph)
+    try:
+        return _yens(adj, graph.n, source, target, k)
+    finally:
+        adj.close()
+
+
+def _yens(adj, n: int, source: int, target: int, k: int) -> pd.DataFrame:
+    cost0, p0 = _dijkstra(adj, n, source, target)
     if not p0:
         return pd.DataFrame({"rank": [], "total_cost": [], "path": []})
 
     def edge_cost(u, v):
-        for ei in range(indptr[u], indptr[u + 1]):
-            if indices[ei] == v:
-                return float(weights[ei])
-        return np.inf
+        nb, w = adj.get(u)
+        hits = np.flatnonzero(nb == v)
+        return float(w[hits].min()) if len(hits) else np.inf
 
     paths = [(cost0, p0)]
     candidates: list[tuple[float, list[int]]] = []
@@ -165,11 +289,11 @@ def yens_k_shortest(graph: PartitionedGraph, source: int, target: int,
             for pc, pp in paths:
                 if len(pp) > i and pp[: i + 1] == root:
                     banned_edges.add((pp[i], pp[i + 1]))
-            banned_nodes = np.zeros(len(indptr) - 1, dtype=bool)
+            banned_nodes = np.zeros(n, dtype=bool)
             for v in root[:-1]:
                 banned_nodes[v] = True
-            spur_cost, spur_path = _dijkstra_csr(
-                indptr, indices, weights, spur, target,
+            spur_cost, spur_path = _dijkstra(
+                adj, n, spur, target,
                 banned_edges=banned_edges, banned_nodes=banned_nodes)
             if not spur_path:
                 continue

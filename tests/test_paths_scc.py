@@ -77,6 +77,37 @@ def test_yens_k_shortest(weighted_digraph):
     assert out["path"].tolist() == [[0, 1, 2, 3], [0, 2, 3], [0, 1, 3]]
 
 
+def test_yens_sharded_parquet_matches_arrays(ray_session, tmp_path):
+    """The shard-actor adjacency backend (parquet graphs, no driver CSR)
+    returns bit-identical Dijkstra/Yens results to the arrays-kind
+    driver CSR on the same random weighted digraph."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.paths_extra import (
+        dijkstra_path, yens_k_shortest)
+    from graph_data_science_ray.sources.graph_build import build_int_graph
+    rng = np.random.default_rng(47)
+    n = 80
+    src = rng.integers(0, n, 400).astype(np.int64)
+    dst = rng.integers(0, n, 400).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.integers(1, 9, len(src)).astype(np.float64)
+    ga = PartitionedGraph.from_arrays(n, src, dst, w)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst, "weight": w}))
+    gp = build_int_graph(ds, str(tmp_path / "g"), n, 4,
+                         aggregation="min", weight_col="weight")
+    assert gp.kind == "parquet"
+    ca, pa_ = dijkstra_path(ga, 0, n - 1)
+    cp, pp = dijkstra_path(gp, 0, n - 1)
+    assert ca == cp and pa_ == pp
+    ya = yens_k_shortest(ga, 0, n - 1, k=4)
+    yp = yens_k_shortest(gp, 0, n - 1, k=4)
+    assert ya["total_cost"].tolist() == yp["total_cost"].tolist()
+    assert ya["path"].tolist() == yp["path"].tolist()
+
+
 def test_spanning_tree_matches_prim(ray_session):
     from graph_data_science_ray.pipelines.spanning_tree import (
         prim_reference, spanning_tree)
