@@ -603,11 +603,12 @@ def q_k1_coloring(sf_dir: str):
 
 
 def q_kmeans(sf_dir: str):
-    """KMeans over the embeddings table (rows-only: seeded but
-    init-dependent)."""
+    """KMeans over the embeddings table.  tolerance=0.0 pins the run to
+    exactly max_iterations Lloyd rounds so the chained-CTE SQL oracle
+    (_kmeans_sql) replays the identical schedule."""
     from .pipelines.kmeans import kmeans
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    assign, _c, _i = kmeans(emb, k=8, max_iterations=10)
+    assign, _c, _i = kmeans(emb, k=8, max_iterations=10, tolerance=0.0)
     return assign
 
 
@@ -1255,6 +1256,60 @@ ORDER BY s_suppkey""")
     return "\n".join(parts)
 
 
+def _kmeans_sql(k: int = 8, iterations: int = 10) -> str:
+    """Lloyd iterations as chained CTEs over the long-format embedding
+    table.  Mirrors pipelines/kmeans.py exactly: init = first ``k`` rows
+    in vec_id order, argmin ties -> lowest cluster index, empty clusters
+    keep their previous centroid, fixed ``iterations`` rounds (the Ray
+    query passes tolerance=0.0 so it never early-stops), final
+    assignment from the post-update centroids.  Per the repo gotcha,
+    every CTE referenced twice is AS MATERIALIZED."""
+    parts = [f"""WITH pts AS MATERIALIZED (
+    SELECT vec_id AS id, UNNEST(range(len(embedding))) AS d,
+           CAST(UNNEST(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+c0 AS MATERIALIZED (
+    SELECT r.cluster, p.d, p.v
+    FROM (SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cluster
+          FROM embeddings ORDER BY vec_id LIMIT {k}) r
+    JOIN pts p ON p.id = r.vec_id
+)"""]
+    for i in range(iterations):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+    SELECT id, cluster FROM (
+        SELECT p.id, c.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.id
+                   ORDER BY SUM((p.v - c.v) * (p.v - c.v)), c.cluster)
+                   AS rn
+        FROM pts p JOIN c{i} c ON c.d = p.d
+        GROUP BY p.id, c.cluster
+    ) WHERE rn = 1
+),
+c{i + 1} AS MATERIALIZED (
+    SELECT c.cluster, c.d, COALESCE(m.s / m.n, c.v) AS v
+    FROM c{i} c LEFT JOIN (
+        SELECT a.cluster, p.d, SUM(p.v) AS s, COUNT(*) AS n
+        FROM a{i} a JOIN pts p ON p.id = a.id
+        GROUP BY a.cluster, p.d
+    ) m ON m.cluster = c.cluster AND m.d = c.d
+)""")
+    parts.append(f"""
+SELECT id AS vec_id, cluster FROM (
+    SELECT p.id, c.cluster,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.id
+               ORDER BY SUM((p.v - c.v) * (p.v - c.v)), c.cluster) AS rn
+    FROM pts p JOIN c{iterations} c ON c.d = p.d
+    GROUP BY p.id, c.cluster
+) WHERE rn = 1 ORDER BY vec_id""")
+    return "\n".join(parts)
+
+
 def _pagerank_personalized_sql(iterations: int = 20,
                                damping: float = 0.85,
                                num_sources: int = 3) -> str:
@@ -1518,6 +1573,7 @@ mutual AS (
 SELECT u AS vid, MIN(w) AS component FROM mutual GROUP BY u ORDER BY vid""",
     "pagerank_weighted": _pagerank_weighted_sql(),
     "pagerank_personalized": _pagerank_personalized_sql(),
+    "kmeans": _kmeans_sql(),
     "eigenvector": _eigenvector_sql(),
     "hits": _hits_sql(),
     "wcc_threshold": f"""
