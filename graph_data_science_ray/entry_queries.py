@@ -809,8 +809,10 @@ def q_graph_list(sf_dir: str):
 
 def q_spanning_tree(sf_dir: str):
     """Minimum spanning forest of the weighted co-supply graph
-    (distributed Borůvka; rows-only — MST edges aren't naturally
-    SQL-expressible; total-weight parity vs Prim asserted in pytest)."""
+    (distributed Borůvka).  Under the strict (w, u, v) total order the
+    forest is unique, so the chained-CTE Borůvka oracle
+    (_spanning_tree_sql) is an exact edge-set match; total-weight
+    parity vs Prim additionally asserted in pytest."""
     from .pipelines.spanning_tree import spanning_tree
     suppkeys, graph = _co_supply_graph(sf_dir, variant="wsym")
     out = spanning_tree(graph)
@@ -1256,6 +1258,101 @@ ORDER BY s_suppkey""")
     return "\n".join(parts)
 
 
+def _boruvka_parts(rounds: int) -> tuple[list, str]:
+    """Shared Borůvka CTE chain (see _spanning_tree_sql) plus the
+    UNION ALL expression selecting every round's chosen edges."""
+    parts = [f"WITH RECURSIVE {_CO_SUPPLY_W_SQL.strip()},",
+             """e0 AS MATERIALIZED (
+    SELECT src AS u, dst AS v, CAST(w AS DOUBLE) AS w FROM co_w
+),
+l0 AS MATERIALIZED (
+    SELECT s_suppkey AS vid, CAST(s_suppkey AS BIGINT) AS lab
+    FROM supplier
+)"""]
+    for r in range(rounds):
+        parts.append(f""",
+ext{r} AS MATERIALIZED (
+    SELECT lu.lab AS ca, lv.lab AS cb, e.u, e.v, e.w
+    FROM e0 e
+    JOIN l{r} lu ON lu.vid = e.u
+    JOIN l{r} lv ON lv.vid = e.v
+    WHERE lu.lab <> lv.lab
+),
+ch{r} AS MATERIALIZED (
+    SELECT DISTINCT u, v, w FROM (
+        SELECT c, u, v, w,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+        FROM (SELECT ca AS c, u, v, w FROM ext{r}
+              UNION ALL
+              SELECT cb AS c, u, v, w FROM ext{r})
+    ) WHERE rn = 1
+),
+cg{r} AS MATERIALIZED (
+    SELECT lu.lab AS a, lv.lab AS b
+    FROM ch{r} e
+    JOIN l{r} lu ON lu.vid = e.u
+    JOIN l{r} lv ON lv.vid = e.v
+),
+reach{r}(c, m) AS (
+    SELECT DISTINCT lab, lab FROM l{r}
+    UNION
+    SELECT r.c, g.b
+    FROM reach{r} r
+    JOIN (SELECT a, b FROM cg{r} UNION SELECT b, a FROM cg{r}) g
+      ON g.a = r.m
+),
+l{r + 1} AS MATERIALIZED (
+    SELECT l.vid, MIN(r.m) AS lab
+    FROM l{r} l JOIN reach{r} r ON r.c = l.lab
+    GROUP BY l.vid
+)""")
+    chosen = "\nUNION ALL\n".join(
+        f"SELECT u, v, w FROM ch{r}" for r in range(rounds))
+    return parts, chosen
+
+
+def _spanning_tree_sql(rounds: int = 8) -> str:
+    """Borůvka rounds as chained CTEs.  Under the strict total order
+    (w, u, v) the minimum spanning forest is UNIQUE and each round's
+    per-component minimum external edges are acyclic, so the SQL round
+    structure reproduces pipelines/spanning_tree.py exactly: per-label
+    min edge (both endpoints are candidates), dedup, contract via a
+    recursive min-reachable-label closure over the chosen edges."""
+    parts, chosen = _boruvka_parts(rounds)
+    parts.append(f"""
+SELECT u AS src, v AS dst, ROUND(w, {_ROUND}) AS weight
+FROM ({chosen}) ORDER BY src, dst""")
+    return "\n".join(parts)
+
+
+def _k_spanning_tree_sql(rounds: int = 8, k: int = 5) -> str:
+    """k-spanning-tree clusters from the unique Borůvka MST: drop the
+    k-1 heaviest MST edges (ties by asc (u, v), matching
+    pipelines/spanning_tree.py k_spanning_tree), then cluster = min
+    supplier key reachable over the kept edges."""
+    parts, chosen = _boruvka_parts(rounds)
+    parts.append(f""",
+mst AS MATERIALIZED (SELECT u, v, w FROM ({chosen})),
+dropk AS MATERIALIZED (
+    SELECT u, v FROM mst ORDER BY w DESC, u ASC, v ASC LIMIT {k - 1}
+),
+keep AS MATERIALIZED (
+    SELECT m.u, m.v FROM mst m
+    ANTI JOIN dropk d ON d.u = m.u AND d.v = m.v
+),
+ksym AS MATERIALIZED (
+    SELECT u AS a, v AS b FROM keep UNION SELECT v, u FROM keep
+),
+kreach(c, m) AS (
+    SELECT s_suppkey, CAST(s_suppkey AS BIGINT) FROM supplier
+    UNION
+    SELECT r.c, g.b FROM kreach r JOIN ksym g ON g.a = r.m
+)
+SELECT c AS s_suppkey, MIN(m) AS cluster FROM kreach GROUP BY c
+ORDER BY s_suppkey""")
+    return "\n".join(parts)
+
+
 def _kmeans_sql(k: int = 8, iterations: int = 10) -> str:
     """Lloyd iterations as chained CTEs over the long-format embedding
     table.  Mirrors pipelines/kmeans.py exactly: init = first ``k`` rows
@@ -1574,6 +1671,8 @@ SELECT u AS vid, MIN(w) AS component FROM mutual GROUP BY u ORDER BY vid""",
     "pagerank_weighted": _pagerank_weighted_sql(),
     "pagerank_personalized": _pagerank_personalized_sql(),
     "kmeans": _kmeans_sql(),
+    "spanning_tree": _spanning_tree_sql(),
+    "k_spanning_tree": _k_spanning_tree_sql(),
     "eigenvector": _eigenvector_sql(),
     "hits": _hits_sql(),
     "wcc_threshold": f"""
