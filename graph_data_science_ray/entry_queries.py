@@ -254,6 +254,23 @@ def q_label_propagation(sf_dir: str):
     })
 
 
+def q_label_propagation_waves(sf_dir: str):
+    """LP with the deterministic 2-wave Gauss-Seidel schedule: wave w of
+    each sweep updates vids in [bounds[w], bounds[w+1]) from the CURRENT
+    labels.  Unlike the reference-exact waves==n sequential sweep (the
+    ``label_propagation`` query), the 2-wave schedule is SQL-replayable
+    — 20 chained vote CTEs (_labelprop_waves_sql) reproduce it
+    bit-for-bit."""
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    res = label_propagation(graph, max_iterations=10, waves=2)
+    df = res.to_pandas()
+    df = df[df["vid"].isin(suppkeys)]
+    return pa.table({
+        "s_suppkey": df["vid"].to_numpy(dtype=np.int64),
+        "community": df["label"].to_numpy(dtype=np.int64),
+    })
+
+
 def q_triangle_count(sf_dir: str):
     suppkeys, graph = _co_supply_graph(sf_dir)
     per_node, _total = triangle_count(graph)
@@ -1258,6 +1275,45 @@ ORDER BY s_suppkey""")
     return "\n".join(parts)
 
 
+def _labelprop_waves_sql(sweeps: int = 10, waves: int = 2) -> str:
+    """Wave-scheduled Gauss-Seidel label propagation as chained CTEs.
+    Sub-step t updates wave (t-1) % waves (contiguous vid range
+    [floor(w*n/waves), floor((w+1)*n/waves)), n = max suppkey + 1) with
+    the max-count / min-label vote over CURRENT neighbor labels; all
+    other vertices carry their label through.  Mirrors
+    pipelines/labelprop.py with waves=2 exactly (the engine's
+    target-range scatter)."""
+    parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
+             "nv AS (SELECT MAX(s_suppkey) + 1 AS n FROM supplier),",
+             "lab0 AS MATERIALIZED (SELECT s_suppkey AS vid, "
+             "CAST(s_suppkey + 1 AS BIGINT) AS lab FROM supplier)"]
+    for t in range(1, sweeps * waves + 1):
+        w = (t - 1) % waves
+        lo = f"(SELECT CAST(FLOOR(n * {w} / {waves}.0) AS BIGINT) FROM nv)"
+        hi = (f"(SELECT CAST(FLOOR(n * {w + 1} / {waves}.0) AS BIGINT) "
+              f"FROM nv)")
+        parts.append(f""",
+lab{t} AS MATERIALIZED (
+    SELECT p.vid,
+           CASE WHEN p.vid >= {lo} AND p.vid < {hi}
+                     AND v.best IS NOT NULL
+                THEN v.best ELSE p.lab END AS lab
+    FROM lab{t - 1} p LEFT JOIN (
+        SELECT dst AS vid, lab AS best FROM (
+            SELECT e.dst, l.lab,
+                   ROW_NUMBER() OVER (PARTITION BY e.dst
+                                      ORDER BY COUNT(*) DESC, l.lab) AS rn
+            FROM co_sym e JOIN lab{t - 1} l ON l.vid = e.src
+            GROUP BY e.dst, l.lab
+        ) WHERE rn = 1
+    ) v ON v.vid = p.vid
+)""")
+    parts.append(f"""
+SELECT vid AS s_suppkey, lab AS community FROM lab{sweeps * waves}
+ORDER BY s_suppkey""")
+    return "\n".join(parts)
+
+
 def _boruvka_parts(rounds: int) -> tuple[list, str]:
     """Shared Borůvka CTE chain (see _spanning_tree_sql) plus the
     UNION ALL expression selecting every round's chosen edges."""
@@ -1671,6 +1727,7 @@ SELECT u AS vid, MIN(w) AS component FROM mutual GROUP BY u ORDER BY vid""",
     "pagerank_weighted": _pagerank_weighted_sql(),
     "pagerank_personalized": _pagerank_personalized_sql(),
     "kmeans": _kmeans_sql(),
+    "label_propagation_waves": _labelprop_waves_sql(),
     "spanning_tree": _spanning_tree_sql(),
     "k_spanning_tree": _k_spanning_tree_sql(),
     "eigenvector": _eigenvector_sql(),
@@ -2070,6 +2127,7 @@ _ALL_QUERIES = {
     "wcc_seeded": q_wcc_seeded,
     "wcc_threshold": q_wcc_threshold,
     "label_propagation": q_label_propagation,
+    "label_propagation_waves": q_label_propagation_waves,
     "triangle_count": q_triangle_count,
     "local_clustering": q_local_clustering,
     "pricing_summary": q_pricing_summary,
