@@ -1003,6 +1003,41 @@ def q_nc_pipeline_rf(sf_dir: str):
     })
 
 
+def q_nc_pipeline_select(sf_dir: str):
+    """AutoML model selection (≙ RandomSearch.java +
+    NodeClassificationTrain.selectBestModel): random-searched LR
+    candidates + an RF candidate, 2-fold cross-validation, winner
+    retrained on the full train split (rows-only: iterative trainers;
+    selection behavior gated in pytest)."""
+    from .pipelines.ml_pipeline import (NodeClassificationPipeline,
+                                        random_search)
+    g = _customer_nation_graph(sf_dir)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    labels = np.zeros(g.n, dtype=np.int64)
+    labels[ck] = cust["c_nationkey"].to_numpy(np.int64)
+    mask = np.zeros(g.n, dtype=bool)
+    mask[ck] = True
+    cands = random_search({
+        "method": "logisticRegression",
+        "epochs": 40,
+        "learning_rate": {"range": [0.05, 1.0], "log": True},
+    }, trials=2, seed=42)
+    cands.append(("randomForest", {"trees": 8, "max_depth": 8}))
+    pipe = (NodeClassificationPipeline()
+            .add_node_property("degree")
+            .add_node_property("fastRP", dim=16, seed=42))
+    out = pipe.train_with_selection(g, labels, cands, label_mask=mask,
+                                    folds=2, seed=42)
+    return pa.table({
+        "candidate": np.arange(len(cands), dtype=np.int64),
+        "method": [m for m, _ in cands],
+        "validation_accuracy": np.round(out["validation_scores"], _ROUND),
+        "is_best": np.arange(len(cands)) == out["best_index"],
+    })
+
+
 def q_link_prediction(sf_dir: str):
     """End-to-end link-prediction pipeline (split → FastRP on the train
     graph → Hadamard features → logistic regression → held-out AUC) on
@@ -2165,6 +2200,7 @@ _ALL_QUERIES = {
     "link_prediction": q_link_prediction,
     "node_classification": q_node_classification,
     "nc_pipeline_rf": q_nc_pipeline_rf,
+    "nc_pipeline_select": q_nc_pipeline_select,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,
     "collapse_path": q_collapse_path,

@@ -295,7 +295,139 @@ class TrainingPipeline:
         return self
 
 
+def random_search(space: dict, trials: int,
+                  seed: int = 42) -> list[tuple[str, dict]]:
+    """AutoML candidate generation — parity with
+    ml/ml-algo/.../models/automl/RandomSearch.java: sample ``trials``
+    concrete configs from a tunable space.  Each space value is either
+    a fixed value (passed through, like concrete parameters in
+    TunableTrainerConfig) or ``{"range": [lo, hi], "log": bool,
+    "int": bool}`` (log-scale sampling for penalty/learning-rate style
+    parameters, matching the reference's LogScale ranges).  The
+    ``method`` key names the trainer."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(trials):
+        cfg = {}
+        for key, v in space.items():
+            if isinstance(v, dict) and "range" in v:
+                lo, hi = float(v["range"][0]), float(v["range"][1])
+                if v.get("log"):
+                    x = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+                else:
+                    x = float(rng.uniform(lo, hi))
+                cfg[key] = int(round(x)) if v.get("int") else x
+            else:
+                cfg[key] = v
+        method = cfg.pop("method", "logisticRegression")
+        out.append((method, cfg))
+    return out
+
+
+def _grp_masks(t: pa.Table, val_fold: int):
+    """(train_mask, vids, y) for a batch: train on every non-test row
+    whose fold differs from ``val_fold`` (-1 → all train rows)."""
+    grp = t["grp"].to_numpy(zero_copy_only=False)
+    m = (grp >= 0) & (grp != val_fold)
+    v = t["vid"].to_numpy(zero_copy_only=False)
+    y = t["y"].to_numpy(zero_copy_only=False)
+    return m, v, y
+
+
+def _nc_fit(ds: rd.Dataset, f_ref, d: int, k: int, method: str,
+            cfg: dict, val_fold: int, n_train: int, seed: int) -> dict:
+    """Fit one candidate on the rows outside ``val_fold`` (and outside
+    the test set).  Training itself is the distributed gradient-partial
+    / replicate-to-trees path — only the model is driver-resident."""
+    from .node_classification import _softmax
+    if method == "randomForest":
+        def featurize(t: pa.Table) -> pa.Table:
+            Fl = ray.get(f_ref)
+            m, v, y = _grp_masks(t, val_fold)
+            X = Fl[v[m]]
+            return pa.table({
+                "f": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.reshape(-1)), X.shape[1]),
+                "y": y[m], "row": v[m]})
+        forest = train_random_forest(
+            ds.map_batches(featurize, batch_format="pyarrow",
+                           zero_copy_batch=True), k, seed=seed, **cfg)
+        return {"forest": forest}
+    if method != "logisticRegression":
+        raise ValueError(f"unknown trainer method {method!r}")
+    W = np.zeros((d + 1, k))
+    epochs = cfg.get("epochs", 60)
+    lr = cfg.get("learning_rate", 0.5)
+    l2 = cfg.get("l2_penalty", 1e-4)
+    for _ in range(epochs):
+        wref = ray.put(W)
+
+        def grad(t: pa.Table) -> pa.Table:
+            Wl = ray.get(wref)
+            Fl = ray.get(f_ref)
+            m, v, y = _grp_masks(t, val_fold)
+            X = Fl[v[m]]
+            P = _softmax(X @ Wl[:-1] + Wl[-1])
+            P[np.arange(int(m.sum())), y[m]] -= 1.0
+            g = np.vstack([X.T @ P, P.sum(axis=0)])
+            return pa.table({"g": pa.FixedSizeListArray.from_arrays(
+                pa.array(g.reshape(-1)), g.size)})
+
+        parts = ds.map_batches(grad, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        gsum = np.sum(np.stack([np.asarray(v) for v in parts["g"]]),
+                      axis=0).reshape(d + 1, k)
+        gsum[:-1] += l2 * W[:-1] * n_train
+        W = W - lr * gsum / max(1, n_train)
+    return {"weights": W}
+
+
+def _nc_accuracy(ds: rd.Dataset, f_ref, model: dict,
+                 eval_grp: int) -> float:
+    """Accuracy over rows whose fold == ``eval_grp`` (-1 → test set)."""
+    model_ref = ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        Fl = ray.get(f_ref)
+        mdl = ray.get(model_ref)
+        grp = t["grp"].to_numpy(zero_copy_only=False)
+        m = grp == eval_grp
+        v = t["vid"].to_numpy(zero_copy_only=False)[m]
+        y = t["y"].to_numpy(zero_copy_only=False)[m]
+        if "forest" in mdl:
+            pred = np.argmax(forest_predict_proba(mdl["forest"], Fl[v]),
+                             axis=1)
+        else:
+            W = mdl["weights"]
+            pred = np.argmax(Fl[v] @ W[:-1] + W[-1], axis=1)
+        return pa.table({"correct": [int((pred == y).sum())],
+                         "total": [int(len(y))]})
+
+    s = ds.map_batches(score, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    total = int(s["total"].sum())
+    return float(s["correct"].sum()) / total if total else 0.0
+
+
 class NodeClassificationPipeline(TrainingPipeline):
+    def _prepare(self, graph: PartitionedGraph, labels: np.ndarray,
+                 label_mask, holdout_fraction: float, folds: int,
+                 seed: int):
+        from .node_classification import _hash_u01
+        if label_mask is None:
+            label_mask = np.ones(graph.n, dtype=bool)
+        F = compute_node_properties(graph, self.node_property_steps)
+        vids = np.flatnonzero(label_mask)
+        classes, y_all = np.unique(labels[vids], return_inverse=True)
+        test = _hash_u01(vids, seed + 99) < holdout_fraction
+        # grp: -1 = held-out test rows; 0..folds-1 = validation folds
+        grp = (_hash_u01(vids, seed + 7) * folds).astype(np.int64)
+        grp[test] = -1
+        f_ref = ray.put(F)
+        ds = rd.from_arrow(pa.table({
+            "vid": vids, "y": y_all.astype(np.int64), "grp": grp}))
+        return ds, f_ref, F.shape[1], classes, int((~test).sum())
+
     def train(
         self,
         graph: PartitionedGraph,
@@ -306,97 +438,56 @@ class NodeClassificationPipeline(TrainingPipeline):
         seed: int = 42,
         **trainer_cfg,
     ) -> dict:
-        """Returns {model, classes, test_accuracy, method, steps}."""
-        from .node_classification import _hash_u01, _softmax
-        n = graph.n
-        if label_mask is None:
-            label_mask = np.ones(n, dtype=bool)
-        F = compute_node_properties(graph, self.node_property_steps)
-        vids = np.flatnonzero(label_mask)
-        classes, y_all = np.unique(labels[vids], return_inverse=True)
-        k = len(classes)
-        test = _hash_u01(vids, seed + 99) < holdout_fraction
-        f_ref = ray.put(F)
-        ds = rd.from_arrow(pa.table({
-            "vid": vids, "y": y_all.astype(np.int64), "test": test}))
-
-        if method == "randomForest":
-            def featurize(t: pa.Table) -> pa.Table:
-                Fl = ray.get(f_ref)
-                m = ~t["test"].to_numpy(zero_copy_only=False)
-                v = t["vid"].to_numpy(zero_copy_only=False)[m]
-                X = Fl[v]
-                return pa.table({
-                    "f": pa.FixedSizeListArray.from_arrays(
-                        pa.array(X.reshape(-1)), X.shape[1]),
-                    "y": t["y"].to_numpy(zero_copy_only=False)[m],
-                    "row": v})
-            train_ds = ds.map_batches(featurize, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-            forest = train_random_forest(train_ds, k, seed=seed,
-                                         **trainer_cfg)
-            model = {"forest": forest}
-            forest_ref = ray.put(forest)
-
-            def score(t: pa.Table) -> pa.Table:
-                Fl = ray.get(f_ref)
-                fr = ray.get(forest_ref)
-                m = t["test"].to_numpy(zero_copy_only=False)
-                v = t["vid"].to_numpy(zero_copy_only=False)[m]
-                y = t["y"].to_numpy(zero_copy_only=False)[m]
-                pred = np.argmax(forest_predict_proba(fr, Fl[v]), axis=1)
-                return pa.table({"correct": [int((pred == y).sum())],
-                                 "total": [int(len(y))]})
-        elif method == "logisticRegression":
-            d = F.shape[1]
-            W = np.zeros((d + 1, k))
-            n_train = int((~test).sum())
-            epochs = trainer_cfg.get("epochs", 60)
-            lr = trainer_cfg.get("learning_rate", 0.5)
-            l2 = trainer_cfg.get("l2_penalty", 1e-4)
-            for _ in range(epochs):
-                wref = ray.put(W)
-
-                def grad(t: pa.Table) -> pa.Table:
-                    Wl = ray.get(wref)
-                    Fl = ray.get(f_ref)
-                    m = ~t["test"].to_numpy(zero_copy_only=False)
-                    v = t["vid"].to_numpy(zero_copy_only=False)[m]
-                    y = t["y"].to_numpy(zero_copy_only=False)[m]
-                    X = Fl[v]
-                    P = _softmax(X @ Wl[:-1] + Wl[-1])
-                    P[np.arange(len(y)), y] -= 1.0
-                    g = np.vstack([X.T @ P, P.sum(axis=0)])
-                    return pa.table({"g": pa.FixedSizeListArray.from_arrays(
-                        pa.array(g.reshape(-1)), g.size)})
-
-                parts = ds.map_batches(grad, batch_format="pyarrow",
-                                       zero_copy_batch=True).to_pandas()
-                gsum = np.sum(np.stack([np.asarray(v) for v in parts["g"]]),
-                              axis=0).reshape(d + 1, k)
-                gsum[:-1] += l2 * W[:-1] * n_train
-                W = W - lr * gsum / max(1, n_train)
-            model = {"weights": W}
-            wref = ray.put(W)
-
-            def score(t: pa.Table) -> pa.Table:
-                Wl = ray.get(wref)
-                Fl = ray.get(f_ref)
-                m = t["test"].to_numpy(zero_copy_only=False)
-                v = t["vid"].to_numpy(zero_copy_only=False)[m]
-                y = t["y"].to_numpy(zero_copy_only=False)[m]
-                pred = np.argmax(Fl[v] @ Wl[:-1] + Wl[-1], axis=1)
-                return pa.table({"correct": [int((pred == y).sum())],
-                                 "total": [int(len(y))]})
-        else:
-            raise ValueError(f"unknown trainer method {method!r}")
-
-        s = ds.map_batches(score, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
-        total = int(s["total"].sum())
-        acc = float(s["correct"].sum()) / total if total else 0.0
+        """Single-candidate path: fit on the train split, report test
+        accuracy.  Returns {model, classes, test_accuracy, method,
+        steps}."""
+        ds, f_ref, d, classes, n_train = self._prepare(
+            graph, labels, label_mask, holdout_fraction, 1, seed)
+        model = _nc_fit(ds, f_ref, d, len(classes), method, trainer_cfg,
+                        -1, n_train, seed)
+        acc = _nc_accuracy(ds, f_ref, model, -1)
         return {"model": model, "classes": classes.tolist(),
                 "test_accuracy": acc, "method": method,
+                "steps": [s0 for s0, _ in self.node_property_steps]}
+
+    def train_with_selection(
+        self,
+        graph: PartitionedGraph,
+        labels: np.ndarray,
+        candidates: list[tuple[str, dict]],
+        label_mask: np.ndarray | None = None,
+        folds: int = 3,
+        holdout_fraction: float = 0.3,
+        seed: int = 42,
+    ) -> dict:
+        """Cross-validated model selection — parity with
+        NodeClassificationTrain.java selectBestModel: every candidate
+        (method, config) is trained on each of ``folds`` fold
+        complements and scored on the held-out fold; the candidate
+        with the best mean validation accuracy is retrained on the
+        full train split and evaluated once on the test split.
+        Candidates typically come from random_search()."""
+        if not candidates:
+            raise ValueError("model selection needs >= 1 candidate")
+        ds, f_ref, d, classes, n_train = self._prepare(
+            graph, labels, label_mask, holdout_fraction, folds, seed)
+        k = len(classes)
+        scores = []
+        for method, cfg in candidates:
+            fold_scores = []
+            for v in range(folds):
+                model = _nc_fit(ds, f_ref, d, k, method, cfg, v,
+                                n_train, seed)
+                fold_scores.append(_nc_accuracy(ds, f_ref, model, v))
+            scores.append(float(np.mean(fold_scores)))
+        best = int(np.argmax(scores))
+        method, cfg = candidates[best]
+        model = _nc_fit(ds, f_ref, d, k, method, cfg, -1, n_train, seed)
+        return {"model": model, "classes": classes.tolist(),
+                "test_accuracy": _nc_accuracy(ds, f_ref, model, -1),
+                "method": method, "config": cfg,
+                "validation_scores": scores, "best_index": best,
+                "candidates": [m for m, _ in candidates],
                 "steps": [s0 for s0, _ in self.node_property_steps]}
 
 

@@ -132,3 +132,49 @@ def test_unknown_step_rejected():
         NodeClassificationPipeline)
     with pytest.raises(ValueError):
         NodeClassificationPipeline().add_node_property("nope")
+
+
+def test_random_search_space():
+    from graph_data_science_ray.pipelines.ml_pipeline import random_search
+    cands = random_search({
+        "method": "logisticRegression",
+        "epochs": 40,
+        "learning_rate": {"range": [1e-3, 1.0], "log": True},
+        "trees": {"range": [4, 16], "int": True},
+    }, trials=8, seed=5)
+    assert len(cands) == 8
+    for method, cfg in cands:
+        assert method == "logisticRegression"
+        assert cfg["epochs"] == 40
+        assert 1e-3 <= cfg["learning_rate"] <= 1.0
+        assert isinstance(cfg["trees"], int) and 4 <= cfg["trees"] <= 16
+    # seeded determinism
+    assert cands == random_search({
+        "method": "logisticRegression",
+        "epochs": 40,
+        "learning_rate": {"range": [1e-3, 1.0], "log": True},
+        "trees": {"range": [4, 16], "int": True},
+    }, trials=8, seed=5)
+
+
+def test_nc_model_selection_picks_better_candidate(ray_session):
+    """CV selection must prefer a real trainer over a 0-epoch dud
+    (all-zero weights predict class 0 for everything)."""
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        NodeClassificationPipeline)
+    g, labels = three_cliques()
+    pipe = (NodeClassificationPipeline()
+            .add_node_property("fastRP", dim=16, seed=2))
+    out = pipe.train_with_selection(
+        g, labels,
+        candidates=[("logisticRegression", {"epochs": 0}),
+                    ("logisticRegression", {"epochs": 60}),
+                    ("randomForest", {"trees": 8, "max_depth": 6})],
+        folds=3, seed=2)
+    assert out["best_index"] != 0
+    assert len(out["validation_scores"]) == 3
+    assert out["validation_scores"][out["best_index"]] == max(
+        out["validation_scores"])
+    assert out["test_accuracy"] >= 0.8, out
+    assert out["candidates"] == ["logisticRegression",
+                                 "logisticRegression", "randomForest"]
