@@ -36,6 +36,8 @@ SKIP_QUERIES = {"triangle_count", "local_clustering", "co_supply_edges",
                                   # fast on the dense sf0.1 graph (206 s)
                 "link_prediction",  # full pipeline (split+FastRP+GD
                                     # epochs); exercised at sf0.01
+                "nc_pipeline_select",  # CV model selection = 7 trainer
+                                       # fits; exercised at sf0.01
                 "all_pairs"}      # O(V²) output on the sf0.1 graph
 
 

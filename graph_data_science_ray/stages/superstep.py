@@ -848,6 +848,12 @@ class SuperstepEngine:
             total_changed = sum(s["changed"] for s in stats)
             metrics.append({
                 "iteration": done_it,
+                # driver-observed completion time (relative to run start,
+                # LAG iterations behind the submit frontier): successive
+                # deltas expose inter-iteration latency the per-worker
+                # phase timers cannot see (task dispatch, plasma put of
+                # the returned bundle, straggler skew)
+                "driver_ts": time.perf_counter() - t0,
                 "wall_sec": max(s["wall_sec"] for s in stats),
                 "sent_edges": total_sent,
                 "changed": total_changed,

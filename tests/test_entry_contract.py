@@ -61,7 +61,9 @@ def test_entry_smoke(ray_session):
 
 @pytest.mark.parametrize("name", ["pagerank", "wcc", "triangle_count",
                                   "pricing_summary", "exact_dedup",
-                                  "events_hourly"])
+                                  "events_hourly", "kmeans",
+                                  "spanning_tree", "k_spanning_tree",
+                                  "label_propagation_waves"])
 def test_query_matches_oracle(ray_session, duck, name):
     import __ray_entry__ as e
     ray_result = e.queries()[name](SF)
