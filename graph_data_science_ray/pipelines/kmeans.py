@@ -28,7 +28,19 @@ def kmeans(
     seed: int = 42,
 ) -> tuple[pd.DataFrame, np.ndarray, int]:
     """Returns (assignments (id, cluster), centroids [k, dim], iterations)."""
-    first = ds.sort(id_col).limit(k).to_pandas()
+    # seed centroids = the k smallest-id rows; a per-batch partial min-k
+    # + tiny driver combine, NOT ds.sort().limit(k) (a full all-to-all
+    # sort of the table to fetch k rows)
+    def min_k(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return t.take(pa.array(take))
+
+    first = (ds.map_batches(min_k, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .to_pandas()
+             .sort_values(id_col, kind="stable")
+             .head(k))
     centroids = np.array([np.asarray(v, dtype=np.float64)
                           for v in first[vec_col]])
     ran = 0
