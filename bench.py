@@ -296,50 +296,87 @@ def run_scaling_child(num_cpus: int) -> dict:
     return out
 
 
-def run_scaling() -> dict:
-    """N-vs-4N scaling evidence. GRAFT_SCALING_CPUS (default "8,32")
-    lists the parallelism levels; efficiencies are reported for every
-    consecutive pair. Each child is taskset-pinned —
-    ray.init(num_cpus=N) is logical accounting only, so the engine's
-    P=32 fractional-CPU actors would otherwise burn every physical
-    core even in the low-cpu run."""
-    levels = [int(c) for c in os.environ.get(
-        "GRAFT_SCALING_CPUS", "4,16,32").split(",")]
-    # same-day STREAM envelope first: the superstep hot kernels are
-    # streaming passes, so on ONE box their N->4N efficiency is bounded
-    # by the memory-bandwidth curve (a real N->4N cluster adds memory
-    # systems with the nodes). Measured alongside so the efficiency
-    # numbers carry their hardware context.
-    membw = None
+def _membw_probe(levels) -> dict | None:
     probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "membw_probe.py")
     try:
         mp = subprocess.run(
             [sys.executable, probe, ",".join(map(str, levels))],
             capture_output=True, text=True, timeout=600)
-        membw = json.loads(mp.stdout.strip().splitlines()[-1])
+        return json.loads(mp.stdout.strip().splitlines()[-1])["runs"]
     except Exception as exc:  # probe is evidence, not a dependency
         log(f"membw probe failed: {exc}")
+        return None
+
+
+def run_scaling() -> dict:
+    """N-vs-4N scaling evidence. GRAFT_SCALING_CPUS (default "4,16,32")
+    lists the parallelism levels; efficiencies are reported for every
+    consecutive pair. Each child is taskset-pinned —
+    ray.init(num_cpus=N) is logical accounting only, so the engine's
+    P=32 fractional-CPU actors would otherwise burn every physical
+    core even in the low-cpu run.
+
+    GRAFT_SCALING_TRIALS (default 3): this VM's effective memory
+    bandwidth swings ~3-10x between 5-minute windows (measured via the
+    STREAM probe: 19 -> 217 GB/s at 32 cores within 15 minutes), so
+    one sequential 4->16->32 sweep can land different levels in
+    different hardware windows and report nonsense efficiencies
+    (including superlinear). Levels are therefore run back-to-back
+    ALTERNATING across trials, each metric's per-level best-of-trials
+    is used for the pair efficiencies (standard min-of-N timing), and
+    every trial + a per-trial STREAM envelope is kept in the artifact
+    so the window variance is visible."""
+    levels = [int(c) for c in os.environ.get(
+        "GRAFT_SCALING_CPUS", "4,16,32").split(",")]
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+    all_runs: dict[int, list] = {c: [] for c in levels}
+    membw_trials: list = []
+    for trial in range(trials):
+        # same-window STREAM envelope: the superstep hot kernels are
+        # streaming passes, so on ONE box their N->4N efficiency is
+        # bounded by the memory-bandwidth curve (a real N->4N cluster
+        # adds memory systems with the nodes).
+        membw_trials.append(_membw_probe(levels))
+        for cpus in levels:
+            log(f"--- scaling trial {trial}: {cpus} cpus ---")
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--scaling-child", str(cpus)]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+            proc = subprocess.run(
+                cmd, env=dict(os.environ), capture_output=True, text=True)
+            sys.stderr.write(proc.stderr[-2000:])
+            line = proc.stdout.strip().splitlines()[-1]
+            all_runs[cpus].append(json.loads(line))
+
     results = {}
     for cpus in levels:
-        log(f"--- scaling run: {cpus} cpus ---")
-        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child",
-               str(cpus)]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
-        proc = subprocess.run(
-            cmd, env=dict(os.environ), capture_output=True, text=True)
-        sys.stderr.write(proc.stderr[-2000:])
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        rs = all_runs[cpus]
+        best = dict(rs[0])
+        best["pagerank_sec"] = min(r["pagerank_sec"] for r in rs)
+        best["wcc_sec"] = min(r["wcc_sec"] for r in rs)
+        best["derive_sec"] = min(r["derive_sec"] for r in rs)
+        best["derive_rows_per_sec"] = max(r["derive_rows_per_sec"]
+                                          for r in rs)
+        best["superstep_edges_per_sec"] = max(
+            r["superstep_edges_per_sec"] for r in rs)
+        results[cpus] = best
+
+    membw = None
+    ok = [m for m in membw_trials if m]
+    if ok:
+        membw = {k: max(m.get(k, 0.0) for m in ok) for k in ok[0]}
 
     def eff(lo, hi, factor):
         return round((hi / lo) / factor, 3)
 
     out = {"metric": "scaling_" + "_".join(map(str, levels)),
-           "runs": results, "pairs": {}}
+           "runs": results, "pairs": {}, "trials": trials,
+           "all_trials": {str(c): all_runs[c] for c in levels},
+           "membw_trials": membw_trials}
     if membw is not None:
-        out["membw_gbps"] = membw["runs"]
+        out["membw_gbps"] = membw
     for a, b in zip(levels, levels[1:]):
         ra, rb = results[a], results[b]
         f = b / a
@@ -353,10 +390,8 @@ def run_scaling() -> dict:
                               rb["derive_rows_per_sec"], f),
         }
         if membw is not None:
-            env = eff(membw["runs"][str(a)] if str(a) in membw["runs"]
-                      else membw["runs"][a],
-                      membw["runs"][str(b)] if str(b) in membw["runs"]
-                      else membw["runs"][b], f)
+            env = eff(membw.get(str(a), membw.get(a)),
+                      membw.get(str(b), membw.get(b)), f)
             pair["membw_envelope"] = env
             pair["superstep_vs_envelope"] = round(
                 pair["superstep"] / env, 3) if env else None

@@ -196,16 +196,28 @@ def random_walks_ds(
     P, shard_refs = _adjacency_shards(graph)
     biased = not (return_factor == 1.0 and in_out_factor == 1.0)
 
-    starts = (np.arange(graph.n, dtype=np.int64) if source_vids is None
-              else np.asarray(source_vids, dtype=np.int64))
-    starts = np.repeat(starts, walks_per_node)
-    walk_ids = np.arange(len(starts), dtype=np.int64)
+    if source_vids is None:
+        # full-graph walks: generate step 0 distributedly (walk w starts
+        # at vid w // walks_per_node) — no O(V·walks) driver start table
+        def make_step0(t: pa.Table) -> pa.Table:
+            wid = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "walk_id": wid,
+                "step": np.zeros(len(wid), dtype=np.int64),
+                "vid": wid // walks_per_node,
+                "prev": np.full(len(wid), -1, dtype=np.int64)})
 
-    step0 = pd.DataFrame({"walk_id": walk_ids,
-                          "step": np.zeros(len(starts), dtype=np.int64),
-                          "vid": starts,
-                          "prev": np.full(len(starts), -1, dtype=np.int64)})
-    frames: list[rd.Dataset] = [rd.from_pandas(step0)]
+        step0_ds = rd.range(graph.n * walks_per_node).map_batches(
+            make_step0, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        starts = np.repeat(np.asarray(source_vids, dtype=np.int64),
+                           walks_per_node)
+        step0_ds = rd.from_pandas(pd.DataFrame({
+            "walk_id": np.arange(len(starts), dtype=np.int64),
+            "step": np.zeros(len(starts), dtype=np.int64),
+            "vid": starts,
+            "prev": np.full(len(starts), -1, dtype=np.int64)}))
+    frames: list[rd.Dataset] = [step0_ds]
     cur = frames[0]
 
     def uniform_hop(group: pd.DataFrame, step: int) -> pd.DataFrame:
