@@ -1160,6 +1160,27 @@ def q_ann_topk(sf_dir: str):
     return out
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF cosine top-10 for the first 4 embeddings as queries, probing
+    every cell (nprobe == num_lists ⇒ exact — the oracle-checkable
+    configuration; pruned-probe recall is gated in pytest)."""
+    from .functions.ann import ivf_topk
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def head_mask(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.less(t["vec_id"], pa.scalar(4)))
+
+    head = emb.map_batches(head_mask, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    head = head.sort_values("vec_id")
+    queries = np.array([np.asarray(v, dtype=np.float64)
+                        for v in head["embedding"]])
+    out = ivf_topk(emb, queries, k=10, num_lists=8, nprobe=8)
+    out["score"] = out["score"].round(_ROUND)
+    return out
+
+
 def q_knn(sf_dir: str):
     """Exact KNN (top-5 cosine neighbors per vector, self excluded) —
     the brute-force baseline of gds.knn; NN-descent is the approximate
@@ -2151,6 +2172,10 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
 }
 
+# IVF with nprobe == num_lists probes every cell — exact cosine top-k,
+# so the ann_topk SQL is its oracle too (same queries, same k).
+ORACLE_SQL["ivf_topk"] = ORACLE_SQL["ann_topk"]
+
 
 _ALL_QUERIES = {
     "co_supply_edges": q_co_supply_edges,
@@ -2179,6 +2204,7 @@ _ALL_QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "near_dedup_exact": q_near_dedup_exact,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "knn": q_knn,
     "knn_descent": q_knn_descent,
     "fastrp": q_fastrp,

@@ -89,6 +89,112 @@ def brute_force_topk(
     return out
 
 
+def _local_lloyd(X: np.ndarray, k: int, iterations: int = 10) -> np.ndarray:
+    """Deterministic in-memory Lloyd over a bounded training sample:
+    seeds = first k rows, argmin ties to the lowest centroid, empty
+    cells keep their centroid (same rules as pipelines/kmeans.py)."""
+    c = X[: min(k, len(X))].copy()
+    for _ in range(iterations):
+        d2 = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=len(c))
+        c = np.where(counts[:, None] > 0,
+                     sums / np.maximum(counts[:, None], 1), c)
+    return c
+
+
+class _IVFScorer:
+    """Actor-pool stage: drop vectors in unprobed cells, score the rest,
+    mask per-query cells outside that query's probe list."""
+
+    def __init__(self, queries_ref, cent_ref, probe_ref, k: int,
+                 id_col: str, vec_col: str):
+        self.q = _normalize(ray.get(queries_ref))      # [Q, D]
+        self.cent = ray.get(cent_ref)                  # [L, D]
+        self.probe = ray.get(probe_ref)                # [Q, L] bool
+        self.union = self.probe.any(axis=0)            # [L]
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(t, self.vec_col))
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        d2 = ((m[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        keep = self.union[cell]
+        if not keep.any():
+            e = np.empty(0, np.int64)
+            return pa.table({"query_id": pa.array(e),
+                             "vec_id": pa.array(e),
+                             "score": pa.array(np.empty(0, np.float64))})
+        m, ids, cell = m[keep], ids[keep], cell[keep]
+        scores = self.q @ m.T                          # [Q, B']
+        scores = np.where(self.probe[:, cell], scores, -np.inf)
+        k = min(self.k, scores.shape[1])
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        q_idx = np.repeat(np.arange(scores.shape[0]), k)
+        v_idx = part.ravel()
+        s = scores[q_idx, v_idx]
+        ok = np.isfinite(s)
+        return pa.table({
+            "query_id": pa.array(q_idx[ok], type=pa.int64()),
+            "vec_id": pa.array(ids[v_idx[ok]], type=pa.int64()),
+            "score": pa.array(s[ok], type=pa.float64()),
+        })
+
+
+def ivf_topk(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    num_lists: int = 16,
+    nprobe: int | None = None,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the
+    coarse-quantizer scale path next to lsh_topk: a spherical-kmeans
+    quantizer (trained on a BOUNDED head sample, so training never
+    scales with the corpus) partitions vectors into num_lists cells;
+    each query scores only its nprobe nearest cells.  Assignment +
+    masked scoring is one actor-pool map_batches over the corpus with
+    broadcast centroids; nprobe == num_lists probes every cell and is
+    exactly brute_force_topk (the oracle-checkable configuration).
+    Returns (query_id, vec_id, score, rank), ties broken by higher
+    score then smaller vec_id."""
+    queries = np.asarray(queries, dtype=np.float64)
+    if nprobe is None:
+        nprobe = max(1, num_lists // 4)
+    sample = embeddings.limit(train_sample).to_pandas()
+    X = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    cent = _local_lloyd(X, num_lists)
+    qn = _normalize(queries)
+    qd2 = ((qn[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)  # [Q, L]
+    nprobe = min(nprobe, cent.shape[0])
+    near = np.argpartition(qd2, nprobe - 1, axis=1)[:, :nprobe]
+    probe = np.zeros((len(qn), cent.shape[0]), dtype=bool)
+    probe[np.repeat(np.arange(len(qn)), nprobe), near.ravel()] = True
+    partials = embeddings.map_batches(
+        _IVFScorer, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(ray.put(queries), ray.put(cent),
+                             ray.put(probe), k, id_col, vec_col),
+        concurrency=concurrency).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
+                             "rank": []})
+    out = (partials.sort_values(["query_id", "score", "vec_id"],
+                                ascending=[True, False, True])
+           .groupby("query_id", sort=False).head(k).reset_index(drop=True))
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out
+
+
 def _lsh_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Random-hyperplane codes: sign bits packed into int64."""
     bits = (m @ planes.T) > 0                                 # [N, num_bits]

@@ -129,6 +129,42 @@ def test_lsh_topk_overlaps_exact(emb_ds):
         assert q in got
 
 
+def test_ivf_topk_exhaustive_is_exact(emb_ds):
+    """nprobe == num_lists probes every cell → identical to brute force
+    (the configuration the SQL oracle checks)."""
+    ds, vecs = emb_ds
+    queries = vecs[:3]
+    exact = ann.brute_force_topk(ds, queries, k=5)
+    ivf = ann.ivf_topk(ds, queries, k=5, num_lists=8, nprobe=8)
+    a = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_ivf_topk_pruned_recall(ray_session):
+    """Clustered corpus: probing 1 of 8 cells still recovers most of the
+    true top-k (queries sit inside clusters)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 5
+    vecs = np.concatenate([c + rng.standard_normal((50, 16)) * 0.3
+                           for c in centers])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+    }))
+    queries = vecs[[10, 60, 110]]
+    exact = ann.brute_force_topk(ds, queries, k=10)
+    ivf = ann.ivf_topk(ds, queries, k=10, num_lists=8, nprobe=1,
+                       train_sample=400)
+    hits = 0
+    for q in range(3):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(ivf[ivf["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    assert hits / 30 >= 0.6, hits
+
+
 def test_embedding_neardup(emb_ds):
     ds, _ = emb_ds
     pairs = ann.embedding_neardup(ds, threshold=0.999, num_bits=6).to_pandas()
