@@ -127,35 +127,56 @@ def verify_jaccard_join(pairs: rd.Dataset, docs: rd.Dataset,
 
     def _join_side(pair_rows: rd.Dataset, key: str, out_col: str,
                    carry: list[str]) -> rd.Dataset:
-        def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[["a", "b"] + carry].copy()
-            out["__key"] = df[key].to_numpy(np.int64)
-            out["__text"] = ""
-            out["__kind"] = np.int64(0)
-            out["__bucket"] = _bucket_hash(out, ["__key"], num_buckets)
-            return out
-
-        def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({
-                "a": np.full(len(df), -1, np.int64),
-                "b": np.full(len(df), -1, np.int64),
-            })
+        # every kernel emits an explicit-schema pyarrow table: pandas
+        # object columns make Ray's block-size estimator np.vectorize()
+        # each output and WARN on every empty one (log noise per
+        # bucket), and Arrow string columns are what the shuffle ships
+        # anyway
+        def tag_pairs(df: pd.DataFrame) -> pa.Table:
+            cols = {"a": pa.array(df["a"].to_numpy(np.int64)),
+                    "b": pa.array(df["b"].to_numpy(np.int64))}
             for c in carry:
-                out[c] = ""
-            out["__key"] = df[id_col].to_numpy(np.int64)
-            out["__text"] = df[text_col].astype(str).to_numpy()
-            out["__kind"] = np.int64(1)
-            out["__bucket"] = _bucket_hash(out, ["__key"], num_buckets)
-            return out
+                cols[c] = pa.array(
+                    [str(x) for x in df[c].to_numpy()], type=pa.string())
+            key_np = df[key].to_numpy(np.int64)
+            cols["__key"] = pa.array(key_np)
+            cols["__text"] = pa.array([""] * len(df), type=pa.string())
+            cols["__kind"] = pa.array(np.zeros(len(df), np.int64))
+            cols["__bucket"] = pa.array(
+                _bucket_hash(pd.DataFrame({"__key": key_np}),
+                             ["__key"], num_buckets))
+            return pa.table(cols)
 
-        def join_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        def tag_docs(df: pd.DataFrame) -> pa.Table:
+            key_np = df[id_col].to_numpy(np.int64)
+            cols = {"a": pa.array(np.full(len(df), -1, np.int64)),
+                    "b": pa.array(np.full(len(df), -1, np.int64))}
+            for c in carry:
+                cols[c] = pa.array([""] * len(df), type=pa.string())
+            cols["__key"] = pa.array(key_np)
+            cols["__text"] = pa.array(
+                [str(x) for x in df[text_col].to_numpy()],
+                type=pa.string())
+            cols["__kind"] = pa.array(np.ones(len(df), np.int64))
+            cols["__bucket"] = pa.array(
+                _bucket_hash(pd.DataFrame({"__key": key_np}),
+                             ["__key"], num_buckets))
+            return pa.table(cols)
+
+        def join_kernel(group: pd.DataFrame) -> pa.Table:
             is_doc = group["__kind"].to_numpy() == 1
             lut = dict(zip(group["__key"].to_numpy()[is_doc],
                            group["__text"].to_numpy()[is_doc]))
             p = group[~is_doc]
-            out = p[["a", "b"] + carry].copy()
-            out[out_col] = [lut.get(k, "") for k in p["__key"].to_numpy()]
-            return out
+            cols = {"a": pa.array(p["a"].to_numpy(np.int64)),
+                    "b": pa.array(p["b"].to_numpy(np.int64))}
+            for c in carry:
+                cols[c] = pa.array(
+                    [str(x) for x in p[c].to_numpy()], type=pa.string())
+            cols[out_col] = pa.array(
+                [str(lut.get(k, "")) for k in p["__key"].to_numpy()],
+                type=pa.string())
+            return pa.table(cols)
 
         both = (pair_rows.map_batches(tag_pairs, batch_format="pandas")
                 .union(cdocs.map_batches(tag_docs, batch_format="pandas")))
