@@ -1331,6 +1331,131 @@ ORDER BY s_suppkey""")
     return "\n".join(parts)
 
 
+_M64 = 18446744073709551616  # 2**64
+
+
+def _wrapmul_sql(a: str, c: int) -> str:
+    """(a * c) mod 2**64 as SQL, via 32-bit-split HUGEINT partial
+    products — a full 64×64 product overflows INT128, so multiply by
+    the constant's low/high halves separately and recombine mod 2**64."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (f"((CAST({a} AS HUGEINT) * {lo}) % {_M64} + "
+            f"((CAST({a} AS HUGEINT) * {hi}) % 4294967296) * 4294967296)"
+            f" % {_M64}")
+
+
+def _mix_finalize_sql(x0: str) -> str:
+    """Murmur-style finalizer (xor-shift-33, wrapping multiply,
+    xor-shift-33) then top-53-bits → [0,1): the SQL image of the tail
+    shared by split._edge_hash_u01 and walks._hash_rand. Bit-exact:
+    both sides are IEEE doubles of the same integer."""
+    x1 = f"xor({x0}, ({x0}) >> 33)"
+    x2 = f"CAST({_wrapmul_sql(x1, 0xFF51AFD7ED558CCD)} AS UBIGINT)"
+    x3 = f"xor({x2}, ({x2}) >> 33)"
+    return f"(CAST(({x3}) >> 11 AS DOUBLE) / 9007199254740992.0)"
+
+
+def _edge_u01_sql(s: str, d: str, seed: int) -> str:
+    """SQL replica of pipelines.split._edge_hash_u01(s, d, seed)."""
+    m1 = (f"CAST({_wrapmul_sql(f'CAST({s} AS UBIGINT)', 0x9E3779B97F4A7C15)}"
+          f" AS UBIGINT)")
+    m2 = (f"CAST({_wrapmul_sql(f'CAST({d} AS UBIGINT)', 0xC2B2AE3D27D4EB4F)}"
+          f" AS UBIGINT)")
+    x0 = (f"CAST((CAST(xor({m1}, {m2}) AS HUGEINT) + {seed}) % {_M64}"
+          f" AS UBIGINT)")
+    return _mix_finalize_sql(x0)
+
+
+def _walk_rand_sql(wid: str, step: int, seed: int) -> str:
+    """SQL replica of pipelines.walks._hash_rand(seed, walk_id, step);
+    the per-step constant folds to a literal."""
+    step_mix = (step * 0xBF58476D1CE4E5B9 + seed) % _M64
+    m = _wrapmul_sql(f"CAST({wid} AS UBIGINT)", 0x9E3779B97F4A7C15)
+    x0 = f"CAST((({m}) + {step_mix}) % {_M64} AS UBIGINT)"
+    return _mix_finalize_sql(x0)
+
+
+def _split_relationships_sql(holdout: float = 0.2, seed: int = 42) -> str:
+    """Exact oracle for q_split_relationships: positives are canonical
+    co-supply edges whose edge hash falls under the holdout fraction;
+    negatives replay the slot-indexed rejection sampler (candidate pair
+    per slot, reject self-loops and real edges, keep each pair's
+    smallest slot, take the n_neg smallest slots) — every hash is the
+    same murmur mix, replicated bit-exactly in SQL."""
+    u_pos = _edge_u01_sql("src", "dst", seed)
+    u_a = _edge_u01_sql("slot", "slot + 7", seed + 1)
+    u_b = _edge_u01_sql("slot + 13", "slot", seed + 2)
+    return f"""WITH {_CO_SUPPLY_SQL.strip()},
+nsub AS (SELECT CAST(MAX(s_suppkey) + 1 AS BIGINT) AS n FROM supplier),
+pos AS MATERIALIZED (
+    SELECT src, dst, CAST(1 AS BIGINT) AS label FROM co_edges
+    WHERE ({u_pos}) < {holdout}
+),
+slots AS (
+    SELECT CAST(UNNEST(range(
+        CAST(FLOOR((SELECT COUNT(*) FROM pos) * 1.5) AS BIGINT) + 64
+    )) AS BIGINT) AS slot
+),
+cand AS (
+    SELECT slot,
+           CAST(FLOOR(({u_a}) * n) AS BIGINT) AS a,
+           CAST(FLOOR(({u_b}) * n) AS BIGINT) AS b
+    FROM slots CROSS JOIN nsub
+),
+cand2 AS (
+    SELECT slot, LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+    FROM cand WHERE a <> b
+),
+nonedge AS (
+    SELECT lo, hi, MIN(slot) AS mslot FROM cand2 c
+    WHERE NOT EXISTS (SELECT 1 FROM co_edges e
+                      WHERE e.src = c.lo AND e.dst = c.hi)
+    GROUP BY lo, hi
+),
+neg AS (
+    SELECT lo AS src, hi AS dst, CAST(0 AS BIGINT) AS label
+    FROM nonedge ORDER BY mslot
+    LIMIT (SELECT COUNT(*) FROM pos)
+)
+SELECT src, dst, label FROM pos
+UNION ALL SELECT src, dst, label FROM neg
+ORDER BY label, src, dst"""
+
+
+def _random_walks_sql(walk_length: int = 5, n_sources: int = 32,
+                      seed: int = 42) -> str:
+    """Exact oracle for q_random_walks: the walker RNG is a pure hash
+    of (seed, walk_id, step) and the next hop is neighbor number
+    floor(r·deg) in dst-ascending adjacency order — both replicated in
+    SQL (ROW_NUMBER over dst = the CSR's sampling-order contract)."""
+    parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
+             """adj AS MATERIALIZED (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos,
+           COUNT(*) OVER (PARTITION BY src) AS deg
+    FROM co_sym
+),""",
+             f"""w0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS BIGINT)
+               AS walk_id,
+           s_suppkey AS vid
+    FROM (SELECT s_suppkey FROM supplier
+          ORDER BY s_suppkey LIMIT {n_sources})
+)"""]
+    for k in range(1, walk_length):
+        r = _walk_rand_sql("w.walk_id", k, seed)
+        parts.append(f""",
+w{k} AS (
+    SELECT w.walk_id, a.dst AS vid
+    FROM w{k - 1} w JOIN adj a ON a.src = w.vid
+     AND a.pos = CAST(FLOOR(({r}) * a.deg) AS BIGINT)
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({k} AS BIGINT) AS step, vid FROM w{k}"
+        for k in range(walk_length))
+    return "\n".join(parts) + "\n" + sel + "\nORDER BY walk_id, step"
+
+
 def _labelprop_waves_sql(sweeps: int = 10, waves: int = 2) -> str:
     """Wave-scheduled Gauss-Seidel label propagation as chained CTEs.
     Sub-step t updates wave (t-1) % waves (contiguous vid range
@@ -2175,6 +2300,11 @@ FROM documents ORDER BY doc_id""",
 # IVF with nprobe == num_lists probes every cell — exact cosine top-k,
 # so the ann_topk SQL is its oracle too (same queries, same k).
 ORACLE_SQL["ivf_topk"] = ORACLE_SQL["ann_topk"]
+
+# Hash-deterministic pipelines whose RNG is a pure murmur mix of the
+# row key — replicated bit-exactly in SQL (see _edge_u01_sql).
+ORACLE_SQL["split_relationships"] = _split_relationships_sql()
+ORACLE_SQL["random_walks"] = _random_walks_sql()
 
 
 _ALL_QUERIES = {
