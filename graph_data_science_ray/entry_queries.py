@@ -1339,9 +1339,12 @@ def _wrapmul_sql(a: str, c: int) -> str:
     products — a full 64×64 product overflows INT128, so multiply by
     the constant's low/high halves separately and recombine mod 2**64."""
     hi, lo = c >> 32, c & 0xFFFFFFFF
-    return (f"((CAST({a} AS HUGEINT) * {lo}) % {_M64} + "
-            f"((CAST({a} AS HUGEINT) * {hi}) % 4294967296) * 4294967296)"
-            f" % {_M64}")
+    # power-of-two mod as bitwise AND (explicitly parenthesized: SQL &
+    # binds looser than +/*) — DuckDB's generic INT128 modulo is far
+    # slower than the mask on hot columns
+    return (f"((((CAST({a} AS HUGEINT) * {lo}) & {_M64 - 1}) + "
+            f"(((CAST({a} AS HUGEINT) * {hi}) & 4294967295) * 4294967296))"
+            f" & {_M64 - 1})")
 
 
 def _mix_finalize_sql(x0: str) -> str:
@@ -1361,7 +1364,7 @@ def _edge_u01_sql(s: str, d: str, seed: int) -> str:
           f" AS UBIGINT)")
     m2 = (f"CAST({_wrapmul_sql(f'CAST({d} AS UBIGINT)', 0xC2B2AE3D27D4EB4F)}"
           f" AS UBIGINT)")
-    x0 = (f"CAST((CAST(xor({m1}, {m2}) AS HUGEINT) + {seed}) % {_M64}"
+    x0 = (f"CAST(((CAST(xor({m1}, {m2}) AS HUGEINT) + {seed}) & {_M64 - 1})"
           f" AS UBIGINT)")
     return _mix_finalize_sql(x0)
 
@@ -1371,7 +1374,7 @@ def _walk_rand_sql(wid: str, step: int, seed: int) -> str:
     the per-step constant folds to a literal."""
     step_mix = (step * 0xBF58476D1CE4E5B9 + seed) % _M64
     m = _wrapmul_sql(f"CAST({wid} AS UBIGINT)", 0x9E3779B97F4A7C15)
-    x0 = f"CAST((({m}) + {step_mix}) % {_M64} AS UBIGINT)"
+    x0 = f"CAST(((({m}) + {step_mix}) & {_M64 - 1}) AS UBIGINT)"
     return _mix_finalize_sql(x0)
 
 
@@ -1454,6 +1457,121 @@ w{k} AS (
         f"SELECT walk_id, CAST({k} AS BIGINT) AS step, vid FROM w{k}"
         for k in range(walk_length))
     return "\n".join(parts) + "\n" + sel + "\nORDER BY walk_id, step"
+
+
+def _minhash_dedup_sql(threshold: float = 0.8, num_perm: int = 64,
+                       bands: int = 8, shingle_k: int = 5,
+                       seed: int = 42) -> str:
+    """Exact oracle for q_minhash_dedup — the ENTIRE MinHash-LSH path
+    replayed in SQL: k-char shingle polynomial hashes (uint64 wrap, the
+    fingerprints-oracle pattern), the 64 universal-hash minhashes (the
+    PCG-drawn a/b coefficients inlined as literals; a·x+b wraps mod
+    2**64 before the M61 reduction, exactly like the uint64 kernel),
+    FNV band keys, bucket self-join candidates, exact shingle-Jaccard
+    verification, and min-label connected components via a recursive
+    transitive closure (pair components are tiny — Σc² rows).
+    Assumes ASCII text (proven for this corpus by the fingerprints
+    oracle: every char's codepoint == its UTF-8 byte)."""
+    B = 1099511628211
+    M61 = (1 << 61) - 1
+    r = num_perm // bands
+    rng = np.random.default_rng(seed)
+    av = rng.integers(1, M61, num_perm, dtype=np.uint64)
+    bv = rng.integers(0, M61, num_perm, dtype=np.uint64)
+    perm_vals = ",\n    ".join(
+        f"({p}, {int(av[p]) & 0xFFFFFFFF}, {int(av[p]) >> 32}, {int(bv[p])})"
+        for p in range(num_perm))
+    powc = [pow(B, j, _M64) for j in range(shingle_k)]
+    shingle_terms = " +\n           ".join(
+        f"ascii(s[i+{i}])::HUGEINT * {powc[shingle_k - 1 - i]}"
+        for i in range(shingle_k))
+    fnv_ctes = "".join(f""",
+bh{j} AS (
+    SELECT doc_id, band_id, v,
+           CAST({_wrapmul_sql(f'xor(h, CAST(v[{j}] AS UBIGINT))', B)}
+                AS UBIGINT) AS h
+    FROM bh{j - 1}
+)""" for j in range(1, r + 1))
+    return f"""WITH RECURSIVE norm AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS t
+    FROM documents
+),
+padded AS (
+    SELECT doc_id,
+           CASE WHEN length(t) < {shingle_k}
+                THEN rpad(t, {shingle_k}, ' ') ELSE t END AS s
+    FROM norm
+),
+pos AS (
+    SELECT doc_id, s,
+           UNNEST(range(1, length(s) - {shingle_k} + 2)) AS i
+    FROM padded
+),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, CAST((
+           {shingle_terms}
+        ) & {_M64 - 1} AS UBIGINT) AS h
+    FROM pos
+),
+perms(p, alo, ahi, b) AS (VALUES
+    {perm_vals}
+),
+sigs AS MATERIALIZED (
+    SELECT doc_id, p,
+           MIN(CAST((
+               ((CAST(h AS HUGEINT) * alo) & {_M64 - 1}) +
+               (((CAST(h AS HUGEINT) * ahi) & 4294967295) * 4294967296) + b
+           ) & {_M64 - 1} AS UBIGINT) % {M61}) AS sig
+    FROM sh CROSS JOIN perms GROUP BY doc_id, p
+),
+bh0 AS (
+    SELECT doc_id, CAST(p // {r} AS BIGINT) AS band_id,
+           list(sig ORDER BY p) AS v,
+           CAST(14695981039346656037 AS UBIGINT) AS h
+    FROM sigs GROUP BY doc_id, p // {r}
+){fnv_ctes},
+bh AS MATERIALIZED (
+    SELECT doc_id, band_id, xor(h, h >> 33) AS band_hash FROM bh{r}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bh x JOIN bh y
+      ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+     AND x.doc_id < y.doc_id
+),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.a, c.b, COUNT(*) AS i
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.a
+    JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+    GROUP BY c.a, c.b
+),
+verified AS MATERIALIZED (
+    SELECT i.a, i.b
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.a
+    JOIN cnt cb ON cb.doc_id = i.b
+    WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= {threshold}
+),
+sym AS (
+    SELECT a AS v, b AS u FROM verified
+    UNION SELECT b AS v, a AS u FROM verified
+),
+reach(v, u) AS (
+    SELECT v, u FROM sym
+    UNION
+    SELECT r.v, e.u FROM reach r JOIN sym e ON e.v = r.u
+),
+minlab AS (
+    SELECT v AS doc_id, LEAST(v, MIN(u)) AS cl FROM reach GROUP BY v
+)
+SELECT d.doc_id,
+       COALESCE(m.cl, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(m.cl, d.doc_id) AS keep
+FROM documents d LEFT JOIN minlab m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id"""
 
 
 def _labelprop_waves_sql(sweeps: int = 10, waves: int = 2) -> str:
@@ -2305,6 +2423,7 @@ ORACLE_SQL["ivf_topk"] = ORACLE_SQL["ann_topk"]
 # row key — replicated bit-exactly in SQL (see _edge_u01_sql).
 ORACLE_SQL["split_relationships"] = _split_relationships_sql()
 ORACLE_SQL["random_walks"] = _random_walks_sql()
+ORACLE_SQL["minhash_dedup"] = _minhash_dedup_sql()
 
 
 _ALL_QUERIES = {
