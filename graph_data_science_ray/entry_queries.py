@@ -1131,6 +1131,13 @@ def q_simhash_dedup(sf_dir: str):
     return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_ngram_dedup(sf_dir: str):
+    """N-gram Jaccard near-duplicate clusters: 4 single-row minhash
+    blocking bands over char 3-gram sets, exact Jaccard verification."""
+    from .functions.dedup import ngram_dedup
+    return ngram_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_near_dedup_exact(sf_dir: str):
     """MinHash-LSH pipeline at threshold 1.0: clusters = groups with
     identical whitespace-normalized lowercase text (Jaccard 1.0 on
@@ -1572,6 +1579,45 @@ SELECT d.doc_id,
        d.doc_id = COALESCE(m.cl, d.doc_id) AS keep
 FROM documents d LEFT JOIN minlab m ON m.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def _embedding_neardup_sql(threshold: float = 0.3, num_bits: int = 4,
+                           dim: int = 64, seed: int = 42) -> str:
+    """Exact oracle for q_embedding_neardup: the random-hyperplane
+    codes (PCG-drawn planes inlined as shortest-round-trip literals —
+    DuckDB's strtod recovers the exact doubles) bucket vectors; pairs
+    within one code bucket keep cosine ≥ threshold. Sign/threshold
+    tests happen on doubles both sides; summation order differs
+    (BLAS vs sequential fold) only below the 1e-15 scale, far from the
+    decision boundaries on this corpus."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bits, dim))
+    code_expr = " + ".join(
+        "(CASE WHEN list_dot_product(en, ["
+        + ", ".join(repr(float(x)) for x in planes[b]) + "]) > 0 THEN "
+        + str(1 << b) + " ELSE 0 END)"
+        for b in range(num_bits))
+    return f"""WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n1 AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nn FROM v
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(e, z -> z /
+               (CASE WHEN nn = 0 THEN 1.0 ELSE nn END)) AS en
+    FROM n1
+),
+codes AS MATERIALIZED (
+    SELECT vec_id, en, {code_expr} AS code FROM nv
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_dot_product(x.en, y.en), 6) AS cosine
+FROM codes x JOIN codes y
+  ON x.code = y.code AND x.vec_id < y.vec_id
+WHERE list_dot_product(x.en, y.en) >= {threshold}
+ORDER BY a, b"""
 
 
 def _labelprop_waves_sql(sweeps: int = 10, waves: int = 2) -> str:
@@ -2424,6 +2470,12 @@ ORACLE_SQL["ivf_topk"] = ORACLE_SQL["ann_topk"]
 ORACLE_SQL["split_relationships"] = _split_relationships_sql()
 ORACLE_SQL["random_walks"] = _random_walks_sql()
 ORACLE_SQL["minhash_dedup"] = _minhash_dedup_sql()
+# ngram_dedup = exact n-gram Jaccard with 4 single-row minhash blocking
+# bands — the same SQL replay, parameterized (r=1 collapses the FNV
+# band key to one chain step)
+ORACLE_SQL["ngram_dedup"] = _minhash_dedup_sql(
+    threshold=0.8, num_perm=4, bands=4, shingle_k=3)
+ORACLE_SQL["embedding_neardup"] = _embedding_neardup_sql()
 
 
 _ALL_QUERIES = {
@@ -2451,6 +2503,7 @@ _ALL_QUERIES = {
     "fingerprints": q_fingerprints,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
+    "ngram_dedup": q_ngram_dedup,
     "near_dedup_exact": q_near_dedup_exact,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,

@@ -647,6 +647,23 @@ def simhash_dedup(docs: rd.Dataset, max_distance: int = 3) -> rd.Dataset:
                                pairs["b"].to_numpy(np.int64))
 
 
+def ngram_dedup(docs: rd.Dataset, threshold: float = 0.8, n: int = 3,
+                blocks: int = 4) -> rd.Dataset:
+    """N-gram Jaccard near-dedup → (doc_id, cluster_id, keep).
+
+    Candidates come from ``blocks`` independent single-row minhash
+    bands over the char n-gram sets (each band = one universal min-hash;
+    two docs at Jaccard s share a given band with probability s, so
+    recall = 1-(1-s)^blocks — 0.998 at s=0.8, blocks=4); survivors are
+    verified by EXACT n-gram Jaccard (no signature approximation — the
+    distinguishing property vs minhash_dedup's banded signatures).
+    Every stage is the shared distributed dedup machinery: the LSH
+    pass, the hash-bucketed verification join and the WCC clustering /
+    broadcast assignment all run as Dataset stages."""
+    return minhash_dedup(docs, threshold=threshold, num_perm=blocks,
+                         bands=blocks, shingle_k=n)
+
+
 def ngram_jaccard(texts_a: list[str], texts_b: list[str],
                   n: int = 3) -> np.ndarray:
     """Exact character-n-gram Jaccard for aligned text pairs."""

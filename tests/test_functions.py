@@ -82,6 +82,15 @@ def test_simhash_dedup(docs_ds):
     assert by_id[5] == 5
 
 
+def test_ngram_dedup(docs_ds):
+    clustered = dedup.ngram_dedup(docs_ds, threshold=0.7).to_pandas()
+    by_id = clustered.set_index("doc_id")["cluster_id"]
+    assert by_id[0] == by_id[1] == by_id[2]  # exact + near dup clustered
+    assert by_id[5] == 5                      # unique doc keeps itself
+    keep = clustered.set_index("doc_id")["keep"]
+    assert keep[0] and not keep[1] and not keep[2]
+
+
 def test_ngram_jaccard():
     sims = dedup.ngram_jaccard(["abcdefg", "abcdefg", "abcdefg"],
                                ["abcdefg", "abcdefx", "zzzzzzz"], n=3)
