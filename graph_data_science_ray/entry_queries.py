@@ -1078,16 +1078,21 @@ def q_graphsage(sf_dir: str):
 
 def q_fastrp(sf_dir: str):
     """FastRP embeddings on the co-supply graph via the engine's
-    vector-valued message bundles (rows-only: random-projection values
-    aren't SQL-expressible; bit-exact NumPy parity in pytest)."""
+    vector-valued message bundles, emitted LONG format (s_suppkey, j,
+    val) so the hash-seeded projection + mean-propagation pipeline is
+    SQL-oracle-checkable (the init is a pure murmur mix of (vid, dim),
+    replayed bit-exactly in _fastrp_sql; bit-exact NumPy parity
+    additionally gated in pytest)."""
     from .pipelines.fastrp import fastrp
     suppkeys, graph = _co_supply_graph(sf_dir)
     df = fastrp(graph, dim=32, iteration_weights=[0.0, 1.0, 1.0], seed=42)
     df = df[df["vid"].isin(suppkeys)]
-    emb = np.round(np.stack(df["emb"].to_numpy()), _ROUND)
+    emb = np.stack(df["emb"].to_numpy())
+    n, d = emb.shape
     return pa.table({
-        "s_suppkey": df["vid"].to_numpy(np.int64),
-        "emb": pa.array(emb.tolist(), type=pa.list_(pa.float64())),
+        "s_suppkey": np.repeat(df["vid"].to_numpy(np.int64), d),
+        "j": np.tile(np.arange(d, dtype=np.int64), n),
+        "val": np.round(emb, _ROUND).reshape(-1),
     })
 
 
@@ -1579,6 +1584,71 @@ SELECT d.doc_id,
        d.doc_id = COALESCE(m.cl, d.doc_id) AS keep
 FROM documents d LEFT JOIN minlab m ON m.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def _fastrp_u01_sql(vid: str, j: str, seed: int) -> str:
+    """SQL replica of pipelines.fastrp.sparse_random_projection's
+    per-(vid, dim) uniform: x = vid·M1 + j·M2 + seed (wrapping), then
+    the shared murmur finalizer."""
+    m1 = _wrapmul_sql(f"CAST({vid} AS UBIGINT)", 0x9E3779B97F4A7C15)
+    m2 = _wrapmul_sql(f"CAST({j} AS UBIGINT)", 0xC2B2AE3D27D4EB4F)
+    x0 = f"CAST(((({m1}) + ({m2}) + {seed}) & {_M64 - 1}) AS UBIGINT)"
+    return _mix_finalize_sql(x0)
+
+
+def _fastrp_sql(dim: int = 32, weights=(0.0, 1.0, 1.0),
+                seed: int = 42) -> str:
+    """Exact oracle for q_fastrp (long format): hash-seeded ±√3 sparse
+    projection (exact values both sides — the init has no float
+    accumulation), then per-iteration neighbor mean + row L2
+    normalization + weighted accumulation as chained long-format CTEs.
+    Propagation sums differ from the engine only in summation order
+    (≪ the 1e-9 compare tolerance / 1e-6 rounding grid)."""
+    u = _fastrp_u01_sql("n.vid", "d.j", seed)
+    sqrt3 = repr(float(np.sqrt(3.0)))
+    parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
+             "nodes AS (SELECT s_suppkey AS vid FROM supplier),",
+             f"dims AS (SELECT CAST(UNNEST(range({dim})) AS BIGINT) AS j),",
+             "deg AS (SELECT src AS vid, COUNT(*) AS dg FROM co_sym "
+             "GROUP BY src),",
+             f"""cur0 AS MATERIALIZED (
+    SELECT vid, j,
+           CASE WHEN u < 0.16666666666666666 THEN {sqrt3}
+                WHEN u > 0.8333333333333334 THEN -{sqrt3}
+                ELSE 0.0 END AS val
+    FROM (SELECT n.vid, d.j, {u} AS u
+          FROM nodes n CROSS JOIN dims d)
+)"""]
+    for t in range(1, len(weights) + 1):
+        parts.append(f""",
+msg{t} AS (
+    SELECT e.dst AS vid, c.j, SUM(c.val) AS s
+    FROM co_sym e JOIN cur{t - 1} c ON c.vid = e.src
+    GROUP BY e.dst, c.j
+),
+avg{t} AS (
+    SELECT n.vid, d.j,
+           CASE WHEN COALESCE(dg.dg, 0) > 0
+                THEN COALESCE(m.s, 0.0) / dg.dg ELSE 0.0 END AS val
+    FROM nodes n CROSS JOIN dims d
+    LEFT JOIN deg dg ON dg.vid = n.vid
+    LEFT JOIN msg{t} m ON m.vid = n.vid AND m.j = d.j
+),
+cur{t} AS MATERIALIZED (
+    SELECT vid, j, val / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS val
+    FROM (SELECT vid, j, val,
+                 sqrt(SUM(val * val) OVER (PARTITION BY vid)) AS nrm
+          FROM avg{t})
+)""")
+    terms = " + ".join(f"{w} * c{t + 1}.val" for t, w in enumerate(weights))
+    joins = "".join(
+        f" JOIN cur{t} c{t} ON c{t}.vid = c1.vid AND c{t}.j = c1.j"
+        for t in range(2, len(weights) + 1))
+    parts.append(f"""
+SELECT c1.vid AS s_suppkey, c1.j AS j, ROUND({terms}, {_ROUND}) AS val
+FROM cur1 c1{joins}
+ORDER BY s_suppkey, j""")
+    return "\n".join(parts)
 
 
 def _embedding_neardup_sql(threshold: float = 0.3, num_bits: int = 4,
@@ -2476,6 +2546,7 @@ ORACLE_SQL["minhash_dedup"] = _minhash_dedup_sql()
 ORACLE_SQL["ngram_dedup"] = _minhash_dedup_sql(
     threshold=0.8, num_perm=4, bands=4, shingle_k=3)
 ORACLE_SQL["embedding_neardup"] = _embedding_neardup_sql()
+ORACLE_SQL["fastrp"] = _fastrp_sql()
 
 
 _ALL_QUERIES = {
