@@ -566,7 +566,9 @@ def q_hits(sf_dir: str):
 
 
 def q_betweenness(sf_dir: str):
-    """Sampled betweenness on the co-supply graph (rows-only)."""
+    """Sampled betweenness on the co-supply graph; the SQL oracle
+    (_betweenness_sql) replays Brandes level by level (exact while
+    source eccentricity ≤ 6 — the graph is near-complete)."""
     from .pipelines.betweenness import betweenness
     suppkeys, graph = _co_supply_graph(sf_dir)
     df = betweenness(graph, sources=suppkeys[:8])
@@ -692,9 +694,9 @@ def q_modularity_by_nation(sf_dir: str):
 def q_modularity_optimization(sf_dir: str):
     """Standalone color-constrained modularity optimization
     (gds.beta.modularityOptimization) on the customer–nation bipartite
-    graph (rows-only: the color-phase schedule is iterative and not
-    SQL-expressible; exactness vs the NumPy schedule replica is
-    pytest-gated)."""
+    graph. The 2-color Jacobi sweep is deterministic, so the SQL oracle
+    (_modularity_optimization_sql) replays it round by round; NumPy
+    schedule parity is additionally pytest-gated."""
     from .pipelines.louvain import modularity_optimization
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     ckeys = cust["c_custkey"].to_numpy(np.int64)
@@ -1651,6 +1653,156 @@ ORDER BY s_suppkey, j""")
     return "\n".join(parts)
 
 
+def _betweenness_sql(n_sources: int = 8, depth: int = 6) -> str:
+    """Exact oracle for q_betweenness: full Brandes replay as chained
+    CTEs — BFS levels with σ path counts forward, dependency δ
+    accumulation backward, summed over the first `n_sources` supplier
+    sources. Exact when the co-supply graph's eccentricity from every
+    source is ≤ `depth` (it is ≤ 2 at every test sf — the graph is
+    near-complete; 6 leaves wide margin). The source's own δ lane is
+    excluded (levels ≥ 1 only), matching betweenness()'s zeroing."""
+    parts = [f"WITH {_CO_SUPPLY_SQL.strip()},",
+             f"""srcs AS (
+    SELECT s_suppkey AS s FROM supplier ORDER BY s_suppkey
+    LIMIT {n_sources}
+),
+f0 AS (SELECT s, s AS v, CAST(1.0 AS DOUBLE) AS sigma FROM srcs),
+seen0 AS (SELECT s, v, 0 AS dist, sigma FROM f0)"""]
+    for k in range(1, depth + 1):
+        parts.append(f""",
+f{k} AS MATERIALIZED (
+    SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma
+    FROM f{k - 1} p JOIN co_sym e ON e.src = p.v
+    WHERE NOT EXISTS (SELECT 1 FROM seen{k - 1} z
+                      WHERE z.s = p.s AND z.v = e.dst)
+    GROUP BY p.s, e.dst
+),
+seen{k} AS MATERIALIZED (
+    SELECT * FROM seen{k - 1}
+    UNION ALL SELECT s, v, {k} AS dist, sigma FROM f{k}
+)""")
+    parts.append(f""",
+fwd AS MATERIALIZED (SELECT * FROM seen{depth}),
+delta{depth} AS (SELECT s, v, CAST(0.0 AS DOUBLE) AS delta
+                 FROM fwd WHERE false)""")
+    for lv in range(depth - 1, 0, -1):
+        parts.append(f""",
+delta{lv} AS MATERIALIZED (
+    SELECT a.s, a.v,
+           SUM(a.sigma / b.sigma * (1.0 + COALESCE(dn.delta, 0.0)))
+               AS delta
+    FROM fwd a
+    JOIN co_sym e ON e.src = a.v
+    JOIN fwd b ON b.s = a.s AND b.v = e.dst AND b.dist = {lv + 1}
+    LEFT JOIN delta{lv + 1} dn ON dn.s = a.s AND dn.v = b.v
+    WHERE a.dist = {lv}
+    GROUP BY a.s, a.v
+)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT v, delta FROM delta{lv}" for lv in range(1, depth))
+    parts.append(f""",
+score AS (
+    SELECT v, SUM(delta) AS sc FROM (
+    {unions}
+    ) GROUP BY v
+)
+SELECT n.vid AS s_suppkey, ROUND(COALESCE(sc.sc, 0.0), {_ROUND}) AS score
+FROM (SELECT s_suppkey AS vid FROM supplier) n
+LEFT JOIN score sc ON sc.v = n.vid
+ORDER BY s_suppkey""")
+    return "\n".join(parts)
+
+
+def _modularity_optimization_sql(max_sweeps: int = 5) -> str:
+    """Exact oracle for q_modularity_optimization: the color-constrained
+    local-moving schedule on the customer–nation bipartite graph is a
+    deterministic 2-color Jacobi sweep (customers = K1 color 0, nations
+    = color 1), so 2·max_sweeps chained CTE rounds replay it — votes
+    re-scored with the modularity gain kin − kv·(vol(c) − [c=own]·kv)/2m
+    and the engine's (max gain, min label) tie-break. Every gain operand
+    is an integer-valued double and the gain is one multiply + one
+    divide, so gains are bit-identical across both sides (ties break
+    identically). Extra rounds past engine convergence are no-ops."""
+    rounds = 2 * max_sweeps
+    parts = ["""WITH cust AS (SELECT c_custkey AS ck, c_nationkey AS nk
+              FROM customer),
+off AS (SELECT MAX(ck) + 1 AS o FROM cust),
+e AS MATERIALIZED (SELECT ck AS a, nk + o AS b FROM cust, off),
+und AS MATERIALIZED (
+    SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+),
+deg AS (SELECT a AS vid, CAST(COUNT(*) AS DOUBLE) AS d
+        FROM und GROUP BY a),
+m2 AS (SELECT 2.0 * COUNT(*) AS m FROM e),
+lab0 AS MATERIALIZED (
+    SELECT vid, vid AS lab FROM (SELECT DISTINCT a AS vid FROM und)
+)"""]
+    for t in range(1, rounds + 1):
+        # wave color (t-1) % 2: 0 = customers (vid < o), 1 = nations
+        pred = ("l.vid < (SELECT o FROM off)" if (t - 1) % 2 == 0
+                else "l.vid >= (SELECT o FROM off)")
+        parts.append(f""",
+vol{t - 1} AS (
+    SELECT l.lab AS c, SUM(dg.d) AS vol
+    FROM lab{t - 1} l JOIN deg dg ON dg.vid = l.vid GROUP BY l.lab
+),
+cand{t} AS (
+    SELECT v, c, SUM(kin) AS kin FROM (
+        SELECT u.a AS v, l.lab AS c, 1.0 AS kin
+        FROM und u JOIN lab{t - 1} l ON l.vid = u.b
+        UNION ALL
+        SELECT vid AS v, lab AS c, 0.0 AS kin FROM lab{t - 1}
+    ) GROUP BY v, c
+),
+win{t} AS (
+    SELECT v, c AS lab FROM (
+        SELECT cd.v, cd.c,
+               ROW_NUMBER() OVER (PARTITION BY cd.v ORDER BY
+                   cd.kin - ((dg.d * (vv.vol -
+                       CASE WHEN cd.c = lo.lab THEN dg.d ELSE 0.0 END))
+                       / (SELECT m FROM m2)) DESC,
+                   cd.c) AS rn
+        FROM cand{t} cd
+        JOIN deg dg ON dg.vid = cd.v
+        JOIN lab{t - 1} lo ON lo.vid = cd.v
+        JOIN vol{t - 1} vv ON vv.c = cd.c
+    ) WHERE rn = 1
+),
+lab{t} AS MATERIALIZED (
+    SELECT l.vid,
+           CASE WHEN {pred} AND w.lab IS NOT NULL
+                THEN w.lab ELSE l.lab END AS lab
+    FROM lab{t - 1} l LEFT JOIN win{t} w ON w.v = l.vid
+)""")
+    parts.append(f""",
+comm AS MATERIALIZED (
+    SELECT vid, MIN(vid) OVER (PARTITION BY lab) AS community
+    FROM lab{rounds}
+),
+ce AS (
+    SELECT ca.community AS cu, cb.community AS cv
+    FROM e JOIN comm ca ON ca.vid = e.a JOIN comm cb ON cb.vid = e.b
+),
+per AS (
+    SELECT c, SUM(vol) AS vol, SUM(internal) AS internal
+    FROM (
+        SELECT cu AS c, 1.0 AS vol,
+               CASE WHEN cu = cv THEN 1.0 ELSE 0.0 END AS internal
+        FROM ce
+        UNION ALL
+        SELECT cv, 1.0, CASE WHEN cu = cv THEN 1.0 ELSE 0.0 END FROM ce
+    ) GROUP BY c
+),
+tot AS (SELECT SUM(vol) AS t FROM per),
+qv AS (SELECT SUM(internal / t - (vol / t) * (vol / t)) AS q
+       FROM per, tot)
+SELECT c.vid AS c_custkey, c.community,
+       ROUND((SELECT q FROM qv), {_ROUND}) AS modularity
+FROM comm c WHERE c.vid < (SELECT o FROM off)
+ORDER BY c_custkey""")
+    return "\n".join(parts)
+
+
 def _embedding_neardup_sql(threshold: float = 0.3, num_bits: int = 4,
                            dim: int = 64, seed: int = 42) -> str:
     """Exact oracle for q_embedding_neardup: the random-hyperplane
@@ -2547,6 +2699,8 @@ ORACLE_SQL["ngram_dedup"] = _minhash_dedup_sql(
     threshold=0.8, num_perm=4, bands=4, shingle_k=3)
 ORACLE_SQL["embedding_neardup"] = _embedding_neardup_sql()
 ORACLE_SQL["fastrp"] = _fastrp_sql()
+ORACLE_SQL["betweenness"] = _betweenness_sql()
+ORACLE_SQL["modularity_optimization"] = _modularity_optimization_sql()
 
 
 _ALL_QUERIES = {
