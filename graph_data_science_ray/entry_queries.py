@@ -603,8 +603,11 @@ def q_betweenness_stars(sf_dir: str):
 
 def q_k1_coloring(sf_dir: str):
     """Greedy parallel coloring of the customer–nation bipartite graph
-    (rows-only; the complete co-supply graph needs > 62 colors which
-    exceeds the one-round bit window)."""
+    over BOTH vertex classes (packed vids: nations at max custkey + 1).
+    The conflict-resolution rounds are synchronous and deterministic,
+    so the SQL oracle (_k1_coloring_sql) replays them bit_or round by
+    round. (The complete co-supply graph stays out: it needs > 62
+    colors, past the one-round bit window.)"""
     from .pipelines.coloring import k1_coloring
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     ckeys = cust["c_custkey"].to_numpy(np.int64)
@@ -614,9 +617,10 @@ def q_k1_coloring(sf_dir: str):
                                      ckeys, nkeys + offset)
     res = k1_coloring(g)
     df = res.to_pandas()
-    df = df[df["vid"].isin(ckeys)]
+    present = np.union1d(ckeys, np.unique(nkeys) + offset)
+    df = df[df["vid"].isin(present)]
     return pa.table({
-        "c_custkey": df["vid"].to_numpy(np.int64),
+        "vid": df["vid"].to_numpy(np.int64),
         "color": df["color"].to_numpy(np.int64),
     })
 
@@ -1803,6 +1807,47 @@ ORDER BY c_custkey""")
     return "\n".join(parts)
 
 
+def _k1_coloring_sql(rounds: int = 6) -> str:
+    """Exact oracle for q_k1_coloring: the Çatalyürek conflict-
+    resolution rounds are synchronous (Jacobi) and deterministic — each
+    round a vertex whose color bit appears in the bit_or of its
+    lower-id neighbors' PREVIOUS colors takes the smallest color absent
+    from that mask. Replayed as chained CTEs; a converged state is a
+    fixpoint, so extra rounds are no-ops (bipartite needs 2)."""
+    parts = ["""WITH cust AS (SELECT c_custkey AS ck, c_nationkey AS nk
+              FROM customer),
+off AS (SELECT MAX(ck) + 1 AS o FROM cust),
+edges AS MATERIALIZED (
+    SELECT DISTINCT ck AS u, nk + o AS v FROM cust, off
+),
+nodes AS (SELECT u AS vid FROM edges UNION SELECT v FROM edges),
+col0 AS (SELECT vid, CAST(0 AS BIGINT) AS col FROM nodes)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+col{t} AS MATERIALIZED (
+    SELECT p.vid,
+           CASE WHEN m.mask IS NOT NULL AND p.col < 62
+                     AND ((m.mask >> LEAST(p.col, 61)) & 1) = 1
+                THEN COALESCE(
+                    (SELECT MIN(c)
+                     FROM (SELECT UNNEST(range(62)) AS c)
+                     WHERE ((m.mask >> c) & 1) = 0), 62)
+                ELSE p.col END AS col
+    FROM col{t - 1} p
+    LEFT JOIN (
+        SELECT e.v AS vid,
+               bit_or(CASE WHEN pu.col < 62
+                           THEN (CAST(1 AS BIGINT) << LEAST(pu.col, 61))
+                           ELSE 0 END) AS mask
+        FROM edges e JOIN col{t - 1} pu ON pu.vid = e.u
+        GROUP BY e.v
+    ) m ON m.vid = p.vid
+)""")
+    parts.append(f"""
+SELECT vid, col AS color FROM col{rounds} ORDER BY vid""")
+    return "\n".join(parts)
+
+
 def _embedding_neardup_sql(threshold: float = 0.3, num_bits: int = 4,
                            dim: int = 64, seed: int = 42) -> str:
     """Exact oracle for q_embedding_neardup: the random-hyperplane
@@ -2701,6 +2746,7 @@ ORACLE_SQL["embedding_neardup"] = _embedding_neardup_sql()
 ORACLE_SQL["fastrp"] = _fastrp_sql()
 ORACLE_SQL["betweenness"] = _betweenness_sql()
 ORACLE_SQL["modularity_optimization"] = _modularity_optimization_sql()
+ORACLE_SQL["k1_coloring"] = _k1_coloring_sql()
 
 
 _ALL_QUERIES = {
