@@ -1009,6 +1009,34 @@ def q_nc_pipeline_rf(sf_dir: str):
     })
 
 
+def q_nc_pipeline_mlp(sf_dir: str):
+    """Configurable NC pipeline with the MLP trainer (≙ the reference's
+    MLPClassifierTrainer: one ReLU hidden layer + softmax head,
+    distributed full-batch gradient partials) over degree + FastRP
+    node-property steps (rows-only: iterative SGD; accuracy gate in
+    pytest)."""
+    from .pipelines.ml_pipeline import NodeClassificationPipeline
+    g = _customer_nation_graph(sf_dir)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    labels = np.zeros(g.n, dtype=np.int64)
+    labels[ck] = cust["c_nationkey"].to_numpy(np.int64)
+    mask = np.zeros(g.n, dtype=bool)
+    mask[ck] = True
+    pipe = (NodeClassificationPipeline()
+            .add_node_property("degree")
+            .add_node_property("fastRP", dim=16, seed=42))
+    model = pipe.train(g, labels, label_mask=mask, method="mlp",
+                       hidden=24, epochs=60, seed=42)
+    return pa.table({
+        "n_classes": [np.int64(len(model["classes"]))],
+        "n_steps": [np.int64(len(model["steps"]))],
+        "method": [model["method"]],
+        "test_accuracy": [np.round(model["test_accuracy"], _ROUND)],
+    })
+
+
 def q_nc_pipeline_select(sf_dir: str):
     """AutoML model selection (≙ RandomSearch.java +
     NodeClassificationTrain.selectBestModel): random-searched LR
@@ -1143,8 +1171,8 @@ def q_simhash_dedup(sf_dir: str):
 
 
 def q_ngram_dedup(sf_dir: str):
-    """N-gram Jaccard near-duplicate clusters: 4 single-row minhash
-    blocking bands over char 3-gram sets, exact Jaccard verification."""
+    """N-gram Jaccard near-duplicate clusters: 4 bands × 6 minhashes
+    over char 4-gram sets, exact Jaccard verification at 0.9."""
     from .functions.dedup import ngram_dedup
     return ngram_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -2737,11 +2765,10 @@ ORACLE_SQL["ivf_topk"] = ORACLE_SQL["ann_topk"]
 ORACLE_SQL["split_relationships"] = _split_relationships_sql()
 ORACLE_SQL["random_walks"] = _random_walks_sql()
 ORACLE_SQL["minhash_dedup"] = _minhash_dedup_sql()
-# ngram_dedup = exact n-gram Jaccard with 4 single-row minhash blocking
-# bands — the same SQL replay, parameterized (r=1 collapses the FNV
-# band key to one chain step)
+# ngram_dedup = exact char-4-gram Jaccard with 4 bands × 6 minhashes —
+# the same SQL replay, parameterized
 ORACLE_SQL["ngram_dedup"] = _minhash_dedup_sql(
-    threshold=0.8, num_perm=4, bands=4, shingle_k=3)
+    threshold=0.9, num_perm=24, bands=4, shingle_k=4)
 ORACLE_SQL["embedding_neardup"] = _embedding_neardup_sql()
 ORACLE_SQL["fastrp"] = _fastrp_sql()
 ORACLE_SQL["betweenness"] = _betweenness_sql()
@@ -2799,6 +2826,7 @@ _ALL_QUERIES = {
     "link_prediction": q_link_prediction,
     "node_classification": q_node_classification,
     "nc_pipeline_rf": q_nc_pipeline_rf,
+    "nc_pipeline_mlp": q_nc_pipeline_mlp,
     "nc_pipeline_select": q_nc_pipeline_select,
     "embedding_neardup": q_embedding_neardup,
     "minmax_scale": q_minmax_scale,

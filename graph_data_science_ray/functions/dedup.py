@@ -647,21 +647,22 @@ def simhash_dedup(docs: rd.Dataset, max_distance: int = 3) -> rd.Dataset:
                                pairs["b"].to_numpy(np.int64))
 
 
-def ngram_dedup(docs: rd.Dataset, threshold: float = 0.8, n: int = 3,
-                blocks: int = 4) -> rd.Dataset:
+def ngram_dedup(docs: rd.Dataset, threshold: float = 0.9, n: int = 4,
+                num_perm: int = 24, bands: int = 4) -> rd.Dataset:
     """N-gram Jaccard near-dedup → (doc_id, cluster_id, keep).
 
-    Candidates come from ``blocks`` independent single-row minhash
-    bands over the char n-gram sets (each band = one universal min-hash;
-    two docs at Jaccard s share a given band with probability s, so
-    recall = 1-(1-s)^blocks — 0.998 at s=0.8, blocks=4); survivors are
-    verified by EXACT n-gram Jaccard (no signature approximation — the
-    distinguishing property vs minhash_dedup's banded signatures).
-    Every stage is the shared distributed dedup machinery: the LSH
-    pass, the hash-bucketed verification join and the WCC clustering /
-    broadcast assignment all run as Dataset stages."""
-    return minhash_dedup(docs, threshold=threshold, num_perm=blocks,
-                         bands=blocks, shingle_k=n)
+    Char 4-gram variant of the LSH+exact-verify path: candidates from
+    4 bands of r=6 minhashes over the n-gram sets (recall 1-(1-s⁶)⁴ —
+    0.95 at s=0.9, →1 for exact dups), survivors verified by EXACT
+    n-gram Jaccard. Short shingles need the tighter banding: same-
+    language documents share most of their 3/4-gram vocabulary, so
+    single-hash bands put ~all of a corpus in one bucket (measured
+    10.6M candidate pairs over 5000 docs at r=1/n=3 — an O(N²)
+    verification; r=6/n=4 is 6.8k). Every stage is the shared
+    distributed dedup machinery (LSH pass → hash-bucketed verification
+    join → WCC clustering → broadcast assignment)."""
+    return minhash_dedup(docs, threshold=threshold, num_perm=num_perm,
+                         bands=bands, shingle_k=n)
 
 
 def ngram_jaccard(texts_a: list[str], texts_b: list[str],

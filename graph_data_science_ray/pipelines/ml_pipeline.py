@@ -353,6 +353,53 @@ def _nc_fit(ds: rd.Dataset, f_ref, d: int, k: int, method: str,
             ds.map_batches(featurize, batch_format="pyarrow",
                            zero_copy_batch=True), k, seed=seed, **cfg)
         return {"forest": forest}
+    if method == "mlp":
+        # ≙ ml/ml-algo/.../models/mlp/MLPClassifierTrainer.java: one
+        # ReLU hidden layer + softmax head, full-batch GD. Gradients
+        # are distributed per-batch partials (the LR pattern below);
+        # only the (d·h + h·k)-sized parameter set is driver-resident.
+        h = int(cfg.get("hidden", 16))
+        epochs = cfg.get("epochs", 80)
+        lr = cfg.get("learning_rate", 0.5)
+        l2 = cfg.get("l2_penalty", 1e-4)
+        rng = np.random.default_rng(seed)
+        W1 = rng.standard_normal((d, h)) * np.sqrt(2.0 / max(d, 1))
+        b1 = np.zeros(h)
+        W2 = rng.standard_normal((h, k)) * np.sqrt(2.0 / h)
+        b2 = np.zeros(k)
+        sizes = [W1.size, b1.size, W2.size, b2.size]
+        for _ in range(epochs):
+            pref = ray.put((W1, b1, W2, b2))
+
+            def grad(t: pa.Table) -> pa.Table:
+                Wl1, bl1, Wl2, bl2 = ray.get(pref)
+                Fl = ray.get(f_ref)
+                m, v, y = _grp_masks(t, val_fold)
+                X = Fl[v[m]]
+                Z = np.maximum(X @ Wl1 + bl1, 0.0)
+                P = _softmax(Z @ Wl2 + bl2)
+                P[np.arange(int(m.sum())), y[m]] -= 1.0
+                dZ = (P @ Wl2.T) * (Z > 0)
+                g = np.concatenate([(X.T @ dZ).ravel(), dZ.sum(axis=0),
+                                    (Z.T @ P).ravel(), P.sum(axis=0)])
+                return pa.table({"g": pa.FixedSizeListArray.from_arrays(
+                    pa.array(g), g.size)})
+
+            parts = ds.map_batches(grad, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+            g = np.sum(np.stack([np.asarray(x) for x in parts["g"]]),
+                       axis=0)
+            o = np.cumsum([0] + sizes)
+            gW1 = g[o[0]:o[1]].reshape(d, h)
+            gb1 = g[o[1]:o[2]]
+            gW2 = g[o[2]:o[3]].reshape(h, k)
+            gb2 = g[o[3]:o[4]]
+            inv = 1.0 / max(1, n_train)
+            W1 -= lr * (gW1 * inv + l2 * W1)
+            b1 -= lr * gb1 * inv
+            W2 -= lr * (gW2 * inv + l2 * W2)
+            b2 -= lr * gb2 * inv
+        return {"mlp": (W1, b1, W2, b2)}
     if method != "logisticRegression":
         raise ValueError(f"unknown trainer method {method!r}")
     W = np.zeros((d + 1, k))
@@ -397,6 +444,10 @@ def _nc_accuracy(ds: rd.Dataset, f_ref, model: dict,
         if "forest" in mdl:
             pred = np.argmax(forest_predict_proba(mdl["forest"], Fl[v]),
                              axis=1)
+        elif "mlp" in mdl:
+            W1, b1, W2, b2 = mdl["mlp"]
+            Z = np.maximum(Fl[v] @ W1 + b1, 0.0)
+            pred = np.argmax(Z @ W2 + b2, axis=1)
         else:
             W = mdl["weights"]
             pred = np.argmax(Fl[v] @ W[:-1] + W[-1], axis=1)

@@ -81,6 +81,24 @@ def test_nc_pipeline_random_forest(ray_session):
     assert model["test_accuracy"] >= 0.8, model["test_accuracy"]
 
 
+def test_nc_pipeline_mlp(ray_session):
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        NodeClassificationPipeline)
+    g, labels = three_cliques()
+    pipe = (NodeClassificationPipeline()
+            .add_node_property("fastRP", dim=16, seed=2))
+    model = pipe.train(g, labels, method="mlp", seed=2,
+                       hidden=16, epochs=60)
+    assert model["method"] == "mlp"
+    assert "mlp" in model["model"]
+    assert model["test_accuracy"] >= 0.8, model["test_accuracy"]
+    # deterministic retrain
+    model2 = pipe.train(g, labels, method="mlp", seed=2,
+                        hidden=16, epochs=60)
+    for a, b in zip(model["model"]["mlp"], model2["model"]["mlp"]):
+        assert np.array_equal(a, b)
+
+
 def test_lp_pipeline_random_forest(ray_session):
     from graph_data_science_ray.pipelines.ml_pipeline import (
         LinkPredictionPipeline)
