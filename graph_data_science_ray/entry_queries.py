@@ -1177,6 +1177,27 @@ def q_ngram_dedup(sf_dir: str):
     return ngram_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_multimodal_binary_stats(sf_dir: str):
+    """Multimodal plumbing exercised end-to-end on REAL data: document
+    texts recast as opaque binary payloads (zero-copy Arrow cast), fed
+    through the actor-pool binary-stats stage (small batches, typed
+    schema). The stats are codec-free, so this path is SQL-oracle
+    checked — the decode stages proper stay honest stubs."""
+    from .functions.multimodal import binary_stats
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "item_id": t["doc_id"],
+            "payload": pc.cast(t["text"], pa.binary()),
+        })
+
+    items = docs.map_batches(to_binary, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return binary_stats(items)
+
+
 def q_near_dedup_exact(sf_dir: str):
     """MinHash-LSH pipeline at threshold 1.0: clusters = groups with
     identical whitespace-normalized lowercase text (Jaccard 1.0 on
@@ -2774,6 +2795,29 @@ ORACLE_SQL["fastrp"] = _fastrp_sql()
 ORACLE_SQL["betweenness"] = _betweenness_sql()
 ORACLE_SQL["modularity_optimization"] = _modularity_optimization_sql()
 ORACLE_SQL["k1_coloring"] = _k1_coloring_sql()
+# multimodal plumbing: byte stats of the text payload (ASCII corpus —
+# proven by the fingerprints oracle — so codepoint == byte); the mean
+# is an exact-integer sum / count both sides
+ORACLE_SQL["multimodal_binary_stats"] = f"""
+WITH ch AS (
+    SELECT doc_id, ascii(text[i]) AS b
+    FROM (SELECT doc_id, text,
+                 UNNEST(range(1, length(text) + 1)) AS i
+          FROM documents)
+),
+agg AS (
+    SELECT doc_id, SUM(b) AS s, COUNT(*) AS c,
+           COUNT(DISTINCT b) AS nd
+    FROM ch GROUP BY doc_id
+)
+SELECT d.doc_id AS item_id,
+       CAST(length(d.text) AS BIGINT) AS n_bytes,
+       ROUND(CASE WHEN a.c IS NULL OR a.c = 0 THEN 0.0
+                  ELSE CAST(a.s AS DOUBLE) / a.c END, {_ROUND})
+           AS mean_byte,
+       CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_distinct_bytes
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY item_id"""
 
 
 _ALL_QUERIES = {
@@ -2802,6 +2846,7 @@ _ALL_QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "ngram_dedup": q_ngram_dedup,
+    "multimodal_binary_stats": q_multimodal_binary_stats,
     "near_dedup_exact": q_near_dedup_exact,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,

@@ -94,6 +94,38 @@ class AudioFrameSampler:
         })
 
 
+class BinaryStatsExtractor:
+    """binary column → content-independent stats (n_bytes, mean_byte,
+    n_distinct_bytes). Unlike the decode stubs this stage needs no
+    codec, so the multimodal plumbing — opaque binary payloads, actor
+    pool, small batches, typed output schema — is exercised and
+    ORACLE-CHECKED end-to-end (q_multimodal_binary_stats)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_n, out_mean, out_dist = [], [], []
+        for p in batch["payload"].to_pylist():
+            a = np.frombuffer(p, dtype=np.uint8)
+            out_n.append(len(a))
+            out_mean.append(float(a.sum()) / len(a) if len(a) else 0.0)
+            out_dist.append(int(len(np.unique(a))))
+        return pa.table({
+            "item_id": batch["item_id"],
+            "n_bytes": pa.array(out_n, type=pa.int64()),
+            "mean_byte": pa.array(np.round(np.asarray(out_mean), 6),
+                                  type=pa.float64()),
+            "n_distinct_bytes": pa.array(out_dist, type=pa.int64()),
+        })
+
+
+def binary_stats(items: rd.Dataset, concurrency=(1, 4),
+                 batch_size: int = 64) -> rd.Dataset:
+    """(item_id, n_bytes, mean_byte, n_distinct_bytes) over an opaque
+    binary column — the real (non-stub) multimodal stage."""
+    return items.map_batches(
+        BinaryStatsExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
 def extract_image_features(items: rd.Dataset, dim: int = FEATURE_DIM,
                            concurrency=(1, 4),
                            batch_size: int = 64) -> rd.Dataset:

@@ -226,6 +226,19 @@ def test_multimodal_plumbing(ray_session):
     assert set(frames["frame_idx"]) == {0, 1, 2}
 
 
+def test_multimodal_binary_stats(ray_session):
+    tbl = multimodal.synthesize_binary_items(12)
+    out = (multimodal.binary_stats(rd.from_arrow(tbl))
+           .to_pandas().sort_values("item_id").reset_index(drop=True))
+    assert len(out) == 12
+    payloads = tbl["payload"].to_pylist()
+    for i, p in enumerate(payloads):
+        a = np.frombuffer(p, dtype=np.uint8)
+        assert out.loc[i, "n_bytes"] == len(a)
+        assert abs(out.loc[i, "mean_byte"] - round(a.sum() / len(a), 6)) < 1e-9
+        assert out.loc[i, "n_distinct_bytes"] == len(np.unique(a))
+
+
 def test_multimodal_strict_raises(ray_session):
     ex = multimodal.ImageFeatureExtractor(strict=True)
     if ex.decoder is None:
