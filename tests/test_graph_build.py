@@ -183,3 +183,25 @@ def test_min_max_edge_aggregation(ray_session, tmp_path):
         assert len(e01) == 1 and e01["weight"].iloc[0] == expect01
         e12 = edges[(edges["src"] == 1) & (edges["dst"] == 2)]
         assert e12["weight"].iloc[0] == 5.0
+
+
+def test_csv_graph_roundtrip(ray_session, tmp_path):
+    import numpy as np
+
+    from graph_data_science_ray.sources import csv_io
+    from graph_data_science_ray.stages.superstep import PartitionedGraph
+
+    src = np.array([0, 0, 1, 2, 4], dtype=np.int64)
+    dst = np.array([1, 2, 3, 3, 5], dtype=np.int64)
+    w = np.array([1.0, 2.0, 0.5, 3.0, 1.5])
+    g = PartitionedGraph.from_arrays(6, src, dst, w)
+    hdr = csv_io.export_graph_csv(g, str(tmp_path / "csv"))
+    assert hdr["n"] == 6 and hdr["weighted"]
+    g2 = csv_io.import_graph_csv(str(tmp_path / "csv"),
+                                 str(tmp_path / "graph"), num_parts=2)
+    assert g2.n == 6 and g2.weighted
+    e = (g2.edges_dataset(("src", "dst", "weight"), flow="out")
+         .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    assert e["src"].tolist() == src.tolist()
+    assert e["dst"].tolist() == dst.tolist()
+    assert e["weight"].tolist() == w.tolist()
