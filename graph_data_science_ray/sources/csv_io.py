@@ -72,19 +72,31 @@ def import_graph_csv(csv_dir: str, graph_dir: str,
         lineage={"source": csv_dir, "derivation": "csv_import"})
 
 
-def edge_list_from_csv(files: list[str] | str,
-                       src_col: str = "src", dst_col: str = "dst",
-                       weight_col: str | None = None) -> rd.Dataset:
-    """Generic CSV edge-list reader for external data: any column
-    naming → the engine's (src, dst[, weight]) schema, streaming."""
-    ds = rd.read_csv(files)
-
+def _norm_edges(src_col: str, dst_col: str, weight_col: str | None):
     def norm(t: pa.Table) -> pa.Table:
         out = {"src": t[src_col].cast(pa.int64()),
                "dst": t[dst_col].cast(pa.int64())}
         if weight_col is not None:
             out["weight"] = t[weight_col].cast(pa.float64())
         return pa.table(out)
+    return norm
 
-    return ds.map_batches(norm, batch_format="pyarrow",
-                          zero_copy_batch=True)
+
+def edge_list_from_csv(files: list[str] | str,
+                       src_col: str = "src", dst_col: str = "dst",
+                       weight_col: str | None = None) -> rd.Dataset:
+    """Generic CSV edge-list reader for external data: any column
+    naming → the engine's (src, dst[, weight]) schema, streaming."""
+    return rd.read_csv(files).map_batches(
+        _norm_edges(src_col, dst_col, weight_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def edge_list_from_json(files: list[str] | str,
+                        src_col: str = "src", dst_col: str = "dst",
+                        weight_col: str | None = None) -> rd.Dataset:
+    """JSONL edge-list reader (one edge object per line) → the same
+    normalized streaming schema."""
+    return rd.read_json(files).map_batches(
+        _norm_edges(src_col, dst_col, weight_col),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -205,3 +205,23 @@ def test_csv_graph_roundtrip(ray_session, tmp_path):
     assert e["src"].tolist() == src.tolist()
     assert e["dst"].tolist() == dst.tolist()
     assert e["weight"].tolist() == w.tolist()
+
+
+def test_edge_list_readers(ray_session, tmp_path):
+    import json as _json
+
+    from graph_data_science_ray.sources import csv_io
+
+    rows = [{"u": 0, "v": 1, "w": 1.5}, {"u": 1, "v": 2, "w": 2.0}]
+    jpath = tmp_path / "edges.jsonl"
+    jpath.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    cpath = tmp_path / "edges.csv"
+    cpath.write_text("u,v,w\n0,1,1.5\n1,2,2.0\n")
+    for reader, path in ((csv_io.edge_list_from_json, jpath),
+                         (csv_io.edge_list_from_csv, cpath)):
+        df = (reader([str(path)], src_col="u", dst_col="v", weight_col="w")
+              .to_pandas().sort_values("src").reset_index(drop=True))
+        assert df["src"].tolist() == [0, 1]
+        assert df["dst"].tolist() == [1, 2]
+        assert df["weight"].tolist() == [1.5, 2.0]
+        assert str(df["src"].dtype) == "int64"
