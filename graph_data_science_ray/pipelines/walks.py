@@ -211,8 +211,12 @@ def random_walks_ds(
                 "vid": wid // walks_per_node,
                 "prev": np.full(len(wid), -1, dtype=np.int64)})
 
-        step0_ds = rd.range(graph.n * walks_per_node).map_batches(
-            make_step0, batch_format="pyarrow", zero_copy_batch=True)
+        # compact to P blocks: rd.range defaults to ~200 tiny blocks and
+        # the first hop's sort-groupby keys its shuffle fan-out to the
+        # input block count
+        step0_ds = rd.range(graph.n * walks_per_node).repartition(P) \
+            .map_batches(make_step0, batch_format="pyarrow",
+                         zero_copy_batch=True)
     else:
         starts = np.repeat(np.asarray(source_vids, dtype=np.int64),
                            walks_per_node)
