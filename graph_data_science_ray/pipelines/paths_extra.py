@@ -92,19 +92,33 @@ class _AdjShard:
 
 
 class _ShardedAdj:
-    """Actor-shard-backed adjacency with a driver-side cache."""
+    """Actor-shard-backed adjacency with a driver-side cache. Spur
+    tasks rebuild a borrowing accessor from the same actor handles
+    (``from_actors``) — shards are loaded once, searched from many
+    processes."""
 
-    def __init__(self, graph: PartitionedGraph):
-        import re
-        self.P = graph.num_parts_layout
-        by_part: dict[int, list[str]] = {p: [] for p in range(self.P)}
-        for f in graph.flow_files("out"):
-            m = re.search(r"part=(\d+)", f)
-            by_part[int(m.group(1))].append(f)
-        self.actors = [
-            _AdjShard.remote(by_part[p], graph.weighted)
-            for p in range(self.P)]
+    def __init__(self, graph: PartitionedGraph | None, actors=None,
+                 P: int | None = None):
+        if graph is None:
+            self.P = P
+            self.actors = list(actors)
+            self.owns_actors = False
+        else:
+            import re
+            self.P = graph.num_parts_layout
+            by_part: dict[int, list[str]] = {p: [] for p in range(self.P)}
+            for f in graph.flow_files("out"):
+                m = re.search(r"part=(\d+)", f)
+                by_part[int(m.group(1))].append(f)
+            self.actors = [
+                _AdjShard.remote(by_part[p], graph.weighted)
+                for p in range(self.P)]
+            self.owns_actors = True
         self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    @classmethod
+    def from_actors(cls, actors, P: int) -> "_ShardedAdj":
+        return cls(None, actors=actors, P=P)
 
     def prefetch(self, vids) -> None:
         need: dict[int, list[int]] = {}
@@ -129,8 +143,9 @@ class _ShardedAdj:
         return self.cache[v]
 
     def close(self) -> None:
-        for a in self.actors:
-            ray.kill(a)
+        if self.owns_actors:
+            for a in self.actors:
+                ray.kill(a)
         self.actors = []
 
 
@@ -267,7 +282,43 @@ def yens_k_shortest(graph: PartitionedGraph, source: int, target: int,
         adj.close()
 
 
+def _adj_descriptor(adj) -> tuple:
+    """Picklable accessor descriptor for spur tasks: sharded adjacency
+    ships the actor HANDLES (shards load once, searched from many
+    processes); local CSR ships one plasma ref of the three arrays."""
+    if isinstance(adj, _ShardedAdj):
+        return ("sharded", adj.actors, adj.P)
+    return ("local", ray.put((adj.indptr, adj.indices, adj.weights)))
+
+
+def _adj_from_descriptor(desc):
+    if desc[0] == "sharded":
+        return _ShardedAdj.from_actors(desc[1], desc[2])
+    return _LocalAdj(*ray.get(desc[1]))
+
+
+@ray.remote
+def _spur_task(desc, n: int, spur: int, target: int,
+               banned_edges: list, banned_node_ids: list):
+    """One Yen's spur search in a worker: rebuild the adjacency
+    accessor from the descriptor and run the banned Dijkstra."""
+    adj = _adj_from_descriptor(desc)
+    banned_nodes = None
+    if banned_node_ids:
+        banned_nodes = np.zeros(n, dtype=bool)
+        banned_nodes[np.asarray(banned_node_ids, dtype=np.int64)] = True
+    return _dijkstra(adj, n, spur, target,
+                     banned_edges=set(map(tuple, banned_edges)) or None,
+                     banned_nodes=banned_nodes)
+
+
 def _yens(adj, n: int, source: int, target: int, k: int) -> pd.DataFrame:
+    """Spur searches within one Yen's iteration are independent, so
+    they run as PARALLEL Ray tasks against the shared adjacency backend
+    (actor shards for parquet graphs; a plasma CSR for arrays graphs).
+    Results are folded in spur order and candidates keep the (cost,
+    path-lexicographic) heap order, so the output is bit-identical to
+    the sequential loop."""
     cost0, p0 = _dijkstra(adj, n, source, target)
     if not p0:
         return pd.DataFrame({"rank": [], "total_cost": [], "path": []})
@@ -277,11 +328,13 @@ def _yens(adj, n: int, source: int, target: int, k: int) -> pd.DataFrame:
         hits = np.flatnonzero(nb == v)
         return float(w[hits].min()) if len(hits) else np.inf
 
+    desc = _adj_descriptor(adj)
     paths = [(cost0, p0)]
     candidates: list[tuple[float, list[int]]] = []
     seen = {tuple(p0)}
     while len(paths) < k:
         prev_cost, prev_path = paths[-1]
+        jobs = []
         for i in range(len(prev_path) - 1):
             spur = prev_path[i]
             root = prev_path[: i + 1]
@@ -289,12 +342,11 @@ def _yens(adj, n: int, source: int, target: int, k: int) -> pd.DataFrame:
             for pc, pp in paths:
                 if len(pp) > i and pp[: i + 1] == root:
                     banned_edges.add((pp[i], pp[i + 1]))
-            banned_nodes = np.zeros(n, dtype=bool)
-            for v in root[:-1]:
-                banned_nodes[v] = True
-            spur_cost, spur_path = _dijkstra(
-                adj, n, spur, target,
-                banned_edges=banned_edges, banned_nodes=banned_nodes)
+            fut = _spur_task.remote(desc, n, spur, target,
+                                    sorted(banned_edges), root[:-1])
+            jobs.append((i, root, fut))
+        for i, root, fut in jobs:
+            spur_cost, spur_path = ray.get(fut)
             if not spur_path:
                 continue
             total = spur_path if i == 0 else root[:-1] + spur_path
