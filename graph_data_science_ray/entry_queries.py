@@ -1199,10 +1199,11 @@ def q_multimodal_binary_stats(sf_dir: str):
 
 
 def q_near_dedup_exact(sf_dir: str):
-    """MinHash-LSH pipeline at threshold 1.0: clusters = groups with
-    identical whitespace-normalized lowercase text (Jaccard 1.0 on
-    shingle sets + full LSH recall for identical signatures) — the
-    SQL-checkable fixed point of the near-dedup path."""
+    """MinHash-LSH pipeline at threshold 1.0: clusters = groups whose
+    DISTINCT 5-gram shingle sets are equal (Jaccard 1.0 ⟺ set
+    equality — coarser than text equality: trailing repetition adds no
+    new shingles) — the SQL-checkable fixed point of the near-dedup
+    path (_near_dedup_exact_sql groups by the sorted shingle list)."""
     from .functions.dedup import minhash_dedup
     return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
                          threshold=1.0)
@@ -1526,6 +1527,58 @@ w{k} AS (
     return "\n".join(parts) + "\n" + sel + "\nORDER BY walk_id, step"
 
 
+def _shingle_cte_sql(k: int) -> str:
+    """Shared CTE chain norm→padded→pos→sh: per-doc DISTINCT k-char
+    shingle polynomial hashes (uint64 wrap), the SQL image of
+    dedup._shingle_hashes. Assumes ASCII text (proven for this corpus
+    by the fingerprints oracle)."""
+    B = 1099511628211
+    powc = [pow(B, j, _M64) for j in range(k)]
+    shingle_terms = " +\n           ".join(
+        f"ascii(s[i+{i}])::HUGEINT * {powc[k - 1 - i]}"
+        for i in range(k))
+    return f"""norm AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS t
+    FROM documents
+),
+padded AS (
+    SELECT doc_id,
+           CASE WHEN length(t) < {k}
+                THEN rpad(t, {k}, ' ') ELSE t END AS s
+    FROM norm
+),
+pos AS (
+    SELECT doc_id, s,
+           UNNEST(range(1, length(s) - {k} + 2)) AS i
+    FROM padded
+),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, CAST((
+           {shingle_terms}
+        ) & {_M64 - 1} AS UBIGINT) AS h
+    FROM pos
+)"""
+
+
+def _near_dedup_exact_sql(shingle_k: int = 5) -> str:
+    """Exact oracle for q_near_dedup_exact: the threshold-1.0 fixed
+    point of the MinHash path clusters docs whose DISTINCT shingle
+    SETS are equal (Jaccard 1.0 ⟺ set equality — a strictly coarser
+    relation than normalized-text equality: trailing repetition can
+    add no new k-grams; found live at sf0.001, docs 12/360). Group by
+    the sorted shingle-hash list itself."""
+    return f"""WITH {_shingle_cte_sql(shingle_k)},
+sig AS (
+    SELECT doc_id, CAST(list(h ORDER BY h) AS VARCHAR) AS hs
+    FROM sh GROUP BY doc_id
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY hs) AS cluster_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY hs) AS keep
+FROM sig ORDER BY doc_id"""
+
+
 def _minhash_dedup_sql(threshold: float = 0.8, num_perm: int = 64,
                        bands: int = 8, shingle_k: int = 5,
                        seed: int = 42) -> str:
@@ -1548,10 +1601,6 @@ def _minhash_dedup_sql(threshold: float = 0.8, num_perm: int = 64,
     perm_vals = ",\n    ".join(
         f"({p}, {int(av[p]) & 0xFFFFFFFF}, {int(av[p]) >> 32}, {int(bv[p])})"
         for p in range(num_perm))
-    powc = [pow(B, j, _M64) for j in range(shingle_k)]
-    shingle_terms = " +\n           ".join(
-        f"ascii(s[i+{i}])::HUGEINT * {powc[shingle_k - 1 - i]}"
-        for i in range(shingle_k))
     fnv_ctes = "".join(f""",
 bh{j} AS (
     SELECT doc_id, band_id, v,
@@ -1559,28 +1608,7 @@ bh{j} AS (
                 AS UBIGINT) AS h
     FROM bh{j - 1}
 )""" for j in range(1, r + 1))
-    return f"""WITH RECURSIVE norm AS (
-    SELECT doc_id,
-           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS t
-    FROM documents
-),
-padded AS (
-    SELECT doc_id,
-           CASE WHEN length(t) < {shingle_k}
-                THEN rpad(t, {shingle_k}, ' ') ELSE t END AS s
-    FROM norm
-),
-pos AS (
-    SELECT doc_id, s,
-           UNNEST(range(1, length(s) - {shingle_k} + 2)) AS i
-    FROM padded
-),
-sh AS MATERIALIZED (
-    SELECT DISTINCT doc_id, CAST((
-           {shingle_terms}
-        ) & {_M64 - 1} AS UBIGINT) AS h
-    FROM pos
-),
+    return f"""WITH RECURSIVE {_shingle_cte_sql(shingle_k)},
 perms(p, alo, ahi, b) AS (VALUES
     {perm_vals}
 ),
@@ -2631,16 +2659,7 @@ SELECT c_custkey,
                   ELSE (c_acctbal - lo) / (hi - lo) END, {_ROUND})
            AS acctbal_scaled
 FROM customer, st ORDER BY c_custkey""",
-    "near_dedup_exact": r"""
-WITH norm AS (
-    SELECT doc_id,
-           lower(trim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS t
-    FROM documents
-)
-SELECT doc_id,
-       MIN(doc_id) OVER (PARTITION BY t) AS cluster_id,
-       doc_id = MIN(doc_id) OVER (PARTITION BY t) AS keep
-FROM norm ORDER BY doc_id""",
+    "near_dedup_exact": _near_dedup_exact_sql(),
     "betweenness_stars": """
 WITH src AS (
     SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100
