@@ -1165,7 +1165,10 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash_dedup(sf_dir: str):
-    """SimHash near-duplicate clusters (rows-only check)."""
+    """SimHash near-duplicate clusters; the token hash is a
+    SQL-replicable polynomial+murmur mix, so the whole path (bit
+    votes → pigeonhole blocks → Hamming verify → components) is
+    oracle-checked (_simhash_dedup_sql)."""
     from .functions.dedup import simhash_dedup
     return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1415,14 +1418,19 @@ def _wrapmul_sql(a: str, c: int) -> str:
             f" & {_M64 - 1})")
 
 
-def _mix_finalize_sql(x0: str) -> str:
-    """Murmur-style finalizer (xor-shift-33, wrapping multiply,
-    xor-shift-33) then top-53-bits → [0,1): the SQL image of the tail
-    shared by split._edge_hash_u01 and walks._hash_rand. Bit-exact:
-    both sides are IEEE doubles of the same integer."""
+def _mix64_sql(x0: str) -> str:
+    """Murmur-style 64-bit finalizer (xor-shift-33, wrapping multiply,
+    xor-shift-33) as a UBIGINT SQL expression."""
     x1 = f"xor({x0}, ({x0}) >> 33)"
     x2 = f"CAST({_wrapmul_sql(x1, 0xFF51AFD7ED558CCD)} AS UBIGINT)"
-    x3 = f"xor({x2}, ({x2}) >> 33)"
+    return f"xor({x2}, ({x2}) >> 33)"
+
+
+def _mix_finalize_sql(x0: str) -> str:
+    """Finalizer then top-53-bits → [0,1): the SQL image of the tail
+    shared by split._edge_hash_u01 and walks._hash_rand. Bit-exact:
+    both sides are IEEE doubles of the same integer."""
+    x3 = _mix64_sql(x0)
     return f"(CAST(({x3}) >> 11 AS DOUBLE) / 9007199254740992.0)"
 
 
@@ -1577,6 +1585,78 @@ SELECT doc_id,
        MIN(doc_id) OVER (PARTITION BY hs) AS cluster_id,
        doc_id = MIN(doc_id) OVER (PARTITION BY hs) AS keep
 FROM sig ORDER BY doc_id"""
+
+
+def _simhash_dedup_sql(max_distance: int = 3) -> str:
+    """Exact oracle for q_simhash_dedup: the token hash is a byte
+    polynomial + murmur finalizer (SQL-replicable), bit votes count
+    every token OCCURRENCE, the 64-bit signature splits into four
+    16-bit pigeonhole blocks for candidates, verification is
+    bit_count(xor) ≤ max_distance, clustering the shared recursive
+    min-label closure."""
+    poly = (f"CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+            f"list_transform(range(1, length(tok) + 1), "
+            f"j -> CAST(ascii(tok[j]) AS HUGEINT))), "
+            f"(a, b) -> (a * 1099511628211 + b) & {_M64 - 1}) AS UBIGINT)")
+    return f"""WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           UNNEST(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tok
+    FROM documents
+),
+th AS MATERIALIZED (
+    SELECT doc_id, {_mix64_sql(poly)} AS h FROM toks
+),
+votes AS (
+    SELECT doc_id, b,
+           SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+    FROM th CROSS JOIN (SELECT UNNEST(range(64)) AS b)
+    GROUP BY doc_id, b
+),
+sim AS MATERIALIZED (
+    SELECT d.doc_id,
+           COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig
+    FROM documents d LEFT JOIN (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                             THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                             ELSE 0 END) AS UBIGINT) AS sig
+        FROM votes GROUP BY doc_id
+    ) s ON s.doc_id = d.doc_id
+),
+blkv AS (
+    SELECT doc_id, blk,
+           CAST((sig >> CAST(16 * blk AS INTEGER)) & 65535 AS BIGINT)
+               AS val
+    FROM sim CROSS JOIN (SELECT UNNEST(range(4)) AS blk)
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM blkv x JOIN blkv y
+      ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+),
+ver AS MATERIALIZED (
+    SELECT c.a, c.b
+    FROM cand c
+    JOIN sim sa ON sa.doc_id = c.a
+    JOIN sim sb ON sb.doc_id = c.b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_distance}
+),
+sym AS (
+    SELECT a AS v, b AS u FROM ver UNION SELECT b AS v, a AS u FROM ver
+),
+reach(v, u) AS (
+    SELECT v, u FROM sym
+    UNION
+    SELECT r.v, e.u FROM reach r JOIN sym e ON e.v = r.u
+),
+minlab AS (
+    SELECT v AS doc_id, LEAST(v, MIN(u)) AS cl FROM reach GROUP BY v
+)
+SELECT d.doc_id,
+       COALESCE(m.cl, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(m.cl, d.doc_id) AS keep
+FROM documents d LEFT JOIN minlab m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id"""
 
 
 def _minhash_dedup_sql(threshold: float = 0.8, num_perm: int = 64,
@@ -2805,6 +2885,7 @@ ORACLE_SQL["ivf_topk"] = ORACLE_SQL["ann_topk"]
 ORACLE_SQL["split_relationships"] = _split_relationships_sql()
 ORACLE_SQL["random_walks"] = _random_walks_sql()
 ORACLE_SQL["minhash_dedup"] = _minhash_dedup_sql()
+ORACLE_SQL["simhash_dedup"] = _simhash_dedup_sql()
 # ngram_dedup = exact char-4-gram Jaccard with 4 bands × 6 minhashes —
 # the same SQL replay, parameterized
 ORACLE_SQL["ngram_dedup"] = _minhash_dedup_sql(

@@ -549,10 +549,18 @@ class SimHasher:
         self._tok_cache: dict[str, int] = {}
 
     def _tok_hash(self, t: str) -> int:
+        """64-bit token hash: byte polynomial (FNV prime) + murmur
+        finalizer — same avalanche quality as the previous blake2b-8
+        digest but SQL-replicable, so simhash_dedup is oracle-checked
+        end-to-end (entry_queries._simhash_dedup_sql)."""
         h = self._tok_cache.get(t)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            h = 0
+            for ch in t.encode():
+                h = (h * 1099511628211 + ch) % (1 << 64)
+            h ^= h >> 33
+            h = (h * 0xFF51AFD7ED558CCD) % (1 << 64)
+            h ^= h >> 33
             self._tok_cache[t] = h
         return h
 
