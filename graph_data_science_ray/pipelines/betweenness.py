@@ -39,7 +39,13 @@ import ray
 from ..stages.superstep import PartitionedGraph, SuperstepEngine
 from ..stages.vertex_program import SUM, StepOutput, VertexProgram, WorkerContext
 
-_MAX_BATCH = 62  # lanes per run; bounds msg width (n_local × 62 × 8B)
+# Lanes per engine-run pair. Unlike the MS-BFS kernels this batch is
+# NOT bit-limited (σ/δ are float64 COLUMNS, not bits) — the bound is
+# message/state width: n_local × lanes × 8 B. Measured on the 215k-
+# vertex star forest (100 sources, 8 cpus): 62 lanes 10.8 s vs 128
+# lanes 11.8 s — wider batches ship proportionally wider [n, k] dense
+# state and don't pay for the saved per-run fixed cost, so keep 62.
+_MAX_BATCH = 62
 
 
 def _stack(df: pd.DataFrame, col: str, n: int, k: int,
