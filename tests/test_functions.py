@@ -82,6 +82,26 @@ def test_simhash_dedup(docs_ds):
     assert by_id[5] == 5
 
 
+def test_near_dedup_exact_is_shingle_set_equality(ray_session):
+    """threshold=1.0 clusters docs whose DISTINCT shingle sets are
+    equal — strictly coarser than text equality: trailing repetition
+    adds no new k-grams (the live sf0.001 doc-12/360 case; the SQL
+    oracle groups by the sorted shingle list for the same reason)."""
+    texts = [
+        "alpha beta gamma delta dup dup dup",   # extra 'dup ' repeats
+        "alpha beta gamma delta dup dup",       # same 5-gram SET as 0
+        "alpha beta gamma delta",               # genuinely different
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    out = dedup.minhash_dedup(ds, threshold=1.0).to_pandas()
+    by_id = out.set_index("doc_id")["cluster_id"]
+    assert by_id[0] == by_id[1] == 0   # set-equal despite text differing
+    assert by_id[2] == 2
+
+
 def test_ngram_dedup(docs_ds):
     clustered = dedup.ngram_dedup(docs_ds, threshold=0.7).to_pandas()
     by_id = clustered.set_index("doc_id")["cluster_id"]
