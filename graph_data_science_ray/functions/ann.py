@@ -36,6 +36,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_by_score_then_id(scores: np.ndarray, ids: np.ndarray, k: int):
+    """Per-row top-k of a [Q, B] score matrix with a DETERMINISTIC
+    tie-break (score desc, id asc) — plain argpartition can drop the
+    smaller id at an exact tie on the k-boundary, making the partial
+    top-k depend on block layout.  Columns are pre-sorted by id asc so
+    a stable argsort on -score resolves ties to the smaller id.
+    Returns (q_idx, col_idx) flat index arrays of length Q*k into the
+    REORDERED column space plus the reordered ids/scores."""
+    id_order = np.argsort(ids, kind="stable")
+    ids_s = ids[id_order]
+    scores_s = scores[:, id_order]
+    top = np.argsort(-scores_s, axis=1, kind="stable")[:, :k]
+    q_idx = np.repeat(np.arange(scores.shape[0]), k)
+    col_idx = top.ravel()
+    return q_idx, col_idx, ids_s, scores_s
+
+
 class _BruteScorer:
     """Actor-pool stage: batch → per-batch top-k rows per query."""
 
@@ -50,14 +67,13 @@ class _BruteScorer:
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
         scores = self.q @ m.T                                # [Q, B]
         k = min(self.k, scores.shape[1])
-        # per-query partial top-k within this batch
-        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        q_idx = np.repeat(np.arange(scores.shape[0]), k)
-        v_idx = part.ravel()
+        # per-query partial top-k within this batch (ties → smaller id)
+        q_idx, v_idx, ids_s, scores_s = _topk_by_score_then_id(
+            scores, ids, k)
         return pa.table({
             "query_id": pa.array(q_idx, type=pa.int64()),
-            "vec_id": pa.array(ids[v_idx], type=pa.int64()),
-            "score": pa.array(scores[q_idx, v_idx], type=pa.float64()),
+            "vec_id": pa.array(ids_s[v_idx], type=pa.int64()),
+            "score": pa.array(scores_s[q_idx, v_idx], type=pa.float64()),
         })
 
 
@@ -134,14 +150,13 @@ class _IVFScorer:
         scores = self.q @ m.T                          # [Q, B']
         scores = np.where(self.probe[:, cell], scores, -np.inf)
         k = min(self.k, scores.shape[1])
-        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        q_idx = np.repeat(np.arange(scores.shape[0]), k)
-        v_idx = part.ravel()
-        s = scores[q_idx, v_idx]
+        q_idx, v_idx, ids_s, scores_s = _topk_by_score_then_id(
+            scores, ids, k)
+        s = scores_s[q_idx, v_idx]
         ok = np.isfinite(s)
         return pa.table({
             "query_id": pa.array(q_idx[ok], type=pa.int64()),
-            "vec_id": pa.array(ids[v_idx[ok]], type=pa.int64()),
+            "vec_id": pa.array(ids_s[v_idx[ok]], type=pa.int64()),
             "score": pa.array(s[ok], type=pa.float64()),
         })
 
@@ -177,7 +192,8 @@ def ivf_topk(
     qn = _normalize(queries)
     qd2 = ((qn[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)  # [Q, L]
     nprobe = min(nprobe, cent.shape[0])
-    near = np.argpartition(qd2, nprobe - 1, axis=1)[:, :nprobe]
+    # stable argsort (L is tiny): probe-cell choice deterministic at ties
+    near = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
     probe = np.zeros((len(qn), cent.shape[0]), dtype=bool)
     probe[np.repeat(np.arange(len(qn)), nprobe), near.ravel()] = True
     partials = embeddings.map_batches(

@@ -354,8 +354,12 @@ def _nc_fit(ds: rd.Dataset, f_ref, d: int, k: int, method: str,
                            zero_copy_batch=True), k, seed=seed, **cfg)
         return {"forest": forest}
     if method == "mlp":
-        # ≙ ml/ml-algo/.../models/mlp/MLPClassifierTrainer.java: one
-        # ReLU hidden layer + softmax head, full-batch GD. Gradients
+        # EXTENSION beyond the pinned reference snapshot: the
+        # /root/reference TrainingMethod.java lists only
+        # LogisticRegression and RandomForest; MLPClassifier landed in
+        # later upstream GDS (2.1+, models/mlp/MLPClassifierTrainer).
+        # Semantics here: one ReLU hidden layer + softmax head,
+        # full-batch GD. Gradients
         # are distributed per-batch partials (the LR pattern below);
         # only the (d·h + h·k)-sized parameter set is driver-resident.
         h = int(cfg.get("hidden", 16))
@@ -475,9 +479,14 @@ class NodeClassificationPipeline(TrainingPipeline):
         grp = (_hash_u01(vids, seed + 7) * folds).astype(np.int64)
         grp[test] = -1
         f_ref = ray.put(F)
+        # per-fold validation row counts, so CV fits can normalize by
+        # the actual fold-complement size (train-on-fold-complement
+        # semantics) instead of the full train-split size
+        fold_counts = np.bincount(grp[grp >= 0], minlength=folds)
         ds = rd.from_arrow(pa.table({
             "vid": vids, "y": y_all.astype(np.int64), "grp": grp}))
-        return ds, f_ref, F.shape[1], classes, int((~test).sum())
+        return (ds, f_ref, F.shape[1], classes, int((~test).sum()),
+                fold_counts)
 
     def train(
         self,
@@ -492,7 +501,7 @@ class NodeClassificationPipeline(TrainingPipeline):
         """Single-candidate path: fit on the train split, report test
         accuracy.  Returns {model, classes, test_accuracy, method,
         steps}."""
-        ds, f_ref, d, classes, n_train = self._prepare(
+        ds, f_ref, d, classes, n_train, _ = self._prepare(
             graph, labels, label_mask, holdout_fraction, 1, seed)
         model = _nc_fit(ds, f_ref, d, len(classes), method, trainer_cfg,
                         -1, n_train, seed)
@@ -520,15 +529,18 @@ class NodeClassificationPipeline(TrainingPipeline):
         Candidates typically come from random_search()."""
         if not candidates:
             raise ValueError("model selection needs >= 1 candidate")
-        ds, f_ref, d, classes, n_train = self._prepare(
+        ds, f_ref, d, classes, n_train, fold_counts = self._prepare(
             graph, labels, label_mask, holdout_fraction, folds, seed)
         k = len(classes)
         scores = []
         for method, cfg in candidates:
             fold_scores = []
             for v in range(folds):
+                # normalize gradients by the fold-COMPLEMENT row count
+                # (the rows actually trained on), not the full train
+                # split — train-on-fold-complement semantics
                 model = _nc_fit(ds, f_ref, d, k, method, cfg, v,
-                                n_train, seed)
+                                n_train - int(fold_counts[v]), seed)
                 fold_scores.append(_nc_accuracy(ds, f_ref, model, v))
             scores.append(float(np.mean(fold_scores)))
         best = int(np.argmax(scores))

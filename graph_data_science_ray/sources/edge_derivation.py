@@ -32,11 +32,15 @@ class ImportExtractor:
     """Actor-pool stage: file rows → exploded candidate edge rows.
 
     The extraction is fully vectorized in Arrow C++ (2.1× the Python
-    findall loop, bit-identical output incl. row order): split content
-    into lines, RE2-extract the import target per line (the pattern is
-    line-anchored, so per-line extract ≡ MULTILINE findall), then
-    take/filter the parent row's repo + sha alongside. Only the sha256
-    digests remain a Python loop (no Arrow kernel; hashlib is C)."""
+    findall loop; output identical incl. row order on single-line ASCII
+    import statements — the corpus contract for the synthetic repo
+    table): split content into lines, RE2-extract the import target per
+    line, then take/filter the parent row's repo + sha alongside. The
+    equivalence to Python MULTILINE findall is corpus-specific, not
+    general: Python's \\s+ can span newlines where the per-line split
+    cannot, and RE2's \\w is ASCII while Python's is Unicode. Only the
+    sha256 digests remain a Python loop (no Arrow kernel; hashlib is
+    C)."""
 
     _PATTERN = r"^\s*import\s+(?P<t>[\w.\-]+/[\w.\-]+)\s*$"
 
