@@ -28,9 +28,23 @@ Scale notes: per-superstep traffic is O(P · V) for dense all-active
 phases (each sender emits at most one partially-reduced value per
 destination vertex — never the O(E) edge-expanded message table) and
 O(active frontier) once deltas sparsify (payloads switch to sparse
-index/value pairs below 25% density). Skewed high out-degree vertices
-cost only local scatter time on their owner; skewed in-degree vertices
+index/value pairs below 25% density). Skewed in-degree vertices
 receive at most P partial values.
+
+Hot-vertex (hub) splitting — the skew-aware analogue of the
+reference's degree partitioning (core/.../partition/PartitionUtils.java
+:40-131): modulo partitioning over hash-dense vids already balances
+EDGES per partition (measured 1.07 max/median sent_edges on the
+103.5M-edge pareto fixture — see tools/skew_probe.py), so the residual
+skew risk is a single vertex whose degree rivals E/P: its whole
+scatter lands on one owner. When a vertex's per-flow degree reaches
+``hub_degree_threshold`` its edges are re-routed AT LOAD TIME to the
+partitions owning their *targets* ("satellite" edges, CSR-by-hub on
+each receiver); each superstep the owner ships ONE value per
+(hub, destination-partition) — O(P) instead of O(degree) — and
+receivers expand it over their local satellite edges inside the
+normal merge reduce. The default threshold (max(65536, E // 8P))
+never triggers on balanced graphs, keeping those runs byte-identical.
 """
 
 from __future__ import annotations
@@ -153,7 +167,19 @@ class PartitionedGraph:
 #   vals:  float64/int64 — dense segment or sparse/vote values
 #   idx:   int64 — sparse/vote local indices
 #   lbls:  int64 — vote labels (shares ioffs)
+# plus an optional hub section (hot-vertex splitting; None when the
+# sender owns no split hubs):
+#   hoffs: int64[P+1] offsets into hids/hvals/hlbls
+#   hids:  int64 — global hub vids whose satellite edges live on the
+#          receiver; the receiver expands each value over its local
+#          satellite CSR inside the merge reduce
+#   hvals: message values per hub (vote reducer: the vote weight)
+#   hlbls: int64 vote labels per hub (None for non-vote programs)
+#   tr:    the sender's target_range (receivers filter satellite
+#          expansion by global target vid — the sender no longer holds
+#          those edges)
 
+# the hub section rides as bundle[6]: None | (hoffs, hids, hvals, hlbls, tr)
 _K_NONE, _K_DENSE, _K_SPARSE, _K_VOTES = 0, 1, 2, 3
 
 
@@ -184,7 +210,7 @@ def _combine_weight(vals: np.ndarray, w: np.ndarray, mode: str) -> None:
         vals += w
 
 
-def _pack_bundle(payloads: list):
+def _pack_bundle(payloads: list, hubs=None):
     P = len(payloads)
     kinds = np.zeros(P, dtype=np.int8)
     vparts, iparts, lparts = [], [], []
@@ -216,11 +242,11 @@ def _pack_bundle(payloads: list):
     vals = np.concatenate(vparts) if vparts else np.empty(0, dtype=np.float64)
     idx = np.concatenate(iparts) if iparts else np.empty(0, dtype=np.int64)
     lbls = np.concatenate(lparts) if lparts else None
-    return kinds, voffs, ioffs, vals, idx, lbls
+    return kinds, voffs, ioffs, vals, idx, lbls, hubs
 
 
 def _unpack_segment(bundle, q: int):
-    kinds, voffs, ioffs, vals, idx, lbls = bundle
+    kinds, voffs, ioffs, vals, idx, lbls = bundle[:6]
     k = kinds[q]
     if k == _K_NONE:
         return None
@@ -233,6 +259,20 @@ def _unpack_segment(bundle, q: int):
     return ("v", i, lbls[ioffs[q]: ioffs[q + 1]], v)
 
 
+def _unpack_hubs(bundle, q: int):
+    """Receiver-side view of one sender's hub section for destination q:
+    (hids, hvals, hlbls, target_range) or None."""
+    hubs = bundle[6] if len(bundle) > 6 else None
+    if hubs is None:
+        return None
+    hoffs, hids, hvals, hlbls, tr = hubs
+    lo, hi = hoffs[q], hoffs[q + 1]
+    if lo == hi:
+        return None
+    return (hids[lo:hi], hvals[lo:hi],
+            None if hlbls is None else hlbls[lo:hi], tr)
+
+
 # --------------------------------------------------------------------------
 # Worker actor
 # --------------------------------------------------------------------------
@@ -241,7 +281,8 @@ def _unpack_segment(bundle, q: int):
 class PartitionWorker:
     """Holds one partition's CSR blocks + vertex state across supersteps."""
 
-    def __init__(self, part: int, num_parts: int, n_global: int):
+    def __init__(self, part: int, num_parts: int, n_global: int,
+                 hub_threshold: int | None = None):
         self.part = part
         self.P = num_parts
         self.n = n_global
@@ -253,8 +294,113 @@ class PartitionWorker:
         self.state: dict[str, np.ndarray] = {}
         self.halted: np.ndarray | None = None
         self.last_send: StepOutput | None = None
+        # hot-vertex splitting (see module docstring)
+        self.hub_threshold = hub_threshold
+        # sender side, per flow: {"hub_local": [H], "dest_offs": [H+1],
+        #                         "dest_parts": [ΣD]} — which partitions
+        # hold satellite edges of each owned hub
+        self.hub_route: dict[str, dict | None] = {}
+        # degree removed into satellites, per flow: (int deg, weighted deg)
+        self.hub_deg: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
+        # receiver side, per flow: {"hub_ids": [H] sorted, "offs": [H+1],
+        #   "dst_local": [E_sat], "weight": [E_sat] | None} CSR by hub
+        self.sats: dict[str, dict | None] = {}
+        self._pending_exports: dict[str, list] = {}
 
     # -- loading ------------------------------------------------------------
+
+    def _split_hubs(self, flow: str, own: np.ndarray, tgt: np.ndarray,
+                    w: np.ndarray | None):
+        """Extract edges of over-threshold-degree owned vertices into
+        per-destination-partition export lists; record sender routing +
+        removed degree. Returns the remaining (own, tgt, w)."""
+        self.hub_route[flow] = None
+        self.hub_deg[flow] = None
+        self._pending_exports[flow] = [None] * self.P
+        thr = self.hub_threshold
+        if not thr or self.P == 1 or len(own) == 0:
+            return own, tgt, w
+        own_local = own // self.P
+        deg = np.bincount(own_local, minlength=self.n_local)
+        if int(deg.max()) < thr:
+            return own, tgt, w
+        hub_v = deg >= thr
+        is_hub = hub_v[own_local]
+        h_own, h_tgt = own[is_hub], tgt[is_hub]
+        h_w = None if w is None else w[is_hub]
+        # removed degree (int + weighted) so ctx.degree() stays correct
+        hl = own_local[is_hub]
+        deg_i = np.bincount(hl, minlength=self.n_local)
+        deg_w = np.bincount(
+            hl, weights=(np.ones(len(hl)) if h_w is None else h_w),
+            minlength=self.n_local)
+        self.hub_deg[flow] = (deg_i.astype(np.int64), deg_w)
+        # exports grouped (dest_part, hub) — CSR-by-hub on the receiver
+        t_part = h_tgt % self.P
+        t_local = h_tgt // self.P
+        order = np.lexsort((t_local, h_own, t_part))
+        h_own, t_part, t_local = h_own[order], t_part[order], t_local[order]
+        h_w = None if h_w is None else h_w[order]
+        bounds = np.searchsorted(t_part, np.arange(self.P + 1))
+        exports = [None] * self.P
+        for q in range(self.P):
+            lo, hi = bounds[q], bounds[q + 1]
+            if lo == hi:
+                continue
+            exports[q] = {
+                "hub": h_own[lo:hi],          # sorted within dest
+                "dst_local": t_local[lo:hi],
+                "weight": None if h_w is None else h_w[lo:hi],
+            }
+        self._pending_exports[flow] = exports
+        # sender routing: unique (hub_local, dest_part) pairs
+        hub_locals = np.flatnonzero(hub_v).astype(np.int64)
+        pair = (h_own // self.P) * self.P + t_part
+        upair = np.unique(pair)
+        p_hub, p_dest = upair // self.P, upair % self.P
+        order = np.argsort(p_hub, kind="stable")
+        p_hub, p_dest = p_hub[order], p_dest[order]
+        offs = np.searchsorted(p_hub, hub_locals)
+        offs = np.append(offs, len(p_hub)).astype(np.int64)
+        self.hub_route[flow] = {
+            "hub_local": hub_locals,
+            "dest_offs": offs,
+            "dest_parts": p_dest,
+        }
+        return own[~is_hub], tgt[~is_hub], (None if w is None
+                                            else w[~is_hub])
+
+    def take_satellite_exports(self, flow: str) -> list:
+        """One export entry per destination partition (num_returns=P,
+        so each destination's entry travels as its own plasma ref)."""
+        exports = self._pending_exports.get(flow) or [None] * self.P
+        self._pending_exports[flow] = [None] * self.P
+        return exports
+
+    def has_hubs(self, flow: str) -> bool:
+        rt = self.hub_route.get(flow)
+        return rt is not None and len(rt["hub_local"]) > 0
+
+    def ingest_satellites(self, flow: str, *exports) -> int:
+        """Merge satellite exports from all senders into this
+        partition's per-flow CSR-by-hub store."""
+        entries = [e for e in exports if e is not None]
+        if not entries:
+            self.sats[flow] = None
+            return 0
+        hub = np.concatenate([e["hub"] for e in entries])
+        dst = np.concatenate([e["dst_local"] for e in entries])
+        w = (np.concatenate([e["weight"] for e in entries])
+             if entries[0]["weight"] is not None else None)
+        order = np.lexsort((dst, hub))
+        hub, dst = hub[order], dst[order]
+        w = None if w is None else w[order]
+        ids, counts = np.unique(hub, return_counts=True)
+        offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        self.sats[flow] = {"hub_ids": ids, "offs": offs,
+                           "dst_local": dst, "weight": w}
+        return len(dst)
 
     def load_blocks_arrays(self, flow_specs: dict) -> dict:
         """flow_specs: {'out': {'own','tgt','weight'} or ref, 'in': ...}."""
@@ -264,9 +410,11 @@ class PartitionWorker:
                 continue
             if isinstance(spec, ray.ObjectRef):
                 spec = ray.get(spec)
+            own, tgt, w = self._split_hubs(
+                flow, np.asarray(spec["own"], dtype=np.int64),
+                np.asarray(spec["tgt"], dtype=np.int64), spec.get("weight"))
             self.blocks[flow] = FlowBlock.build(
-                spec["own"], spec["tgt"], spec.get("weight"),
-                self.P, self.n, self.n_local,
+                own, tgt, w, self.P, self.n, self.n_local,
             )
             counts[flow] = self.blocks[flow].num_edges
         return counts
@@ -290,6 +438,7 @@ class PartitionWorker:
                 dst = t["dst"].to_numpy(zero_copy_only=False)
                 w = t["weight"].to_numpy(zero_copy_only=False) if weighted else None
                 own, tgt = (src, dst) if flow == "out" else (dst, src)
+            own, tgt, w = self._split_hubs(flow, own, tgt, w)
             self.blocks[flow] = FlowBlock.build(own, tgt, w, self.P, self.n,
                                                 self.n_local)
             counts[flow] = self.blocks[flow].num_edges
@@ -300,7 +449,8 @@ class PartitionWorker:
     def setup(self, program: VertexProgram, params: dict) -> None:
         self.program = program
         self.ctx = WorkerContext(self.part, self.P, self.n, self.n_local,
-                                 params, self.blocks)
+                                 params, self.blocks,
+                                 hub_deg=self.hub_deg, sats=self.sats)
         self.state = program.init_state(self.ctx)
         self.halted = np.zeros(self.n_local, dtype=bool)
         self.last_send = None
@@ -376,10 +526,11 @@ class PartitionWorker:
             self.halted |= out.halt_mask
         self.last_send = out
         t2 = time.perf_counter()
-        payloads, sent_edges = self._emit(out)
+        payloads, hubs, sent_edges = self._emit_all(out)
         t3 = time.perf_counter()
-        bundle = (_pack_bundle(payloads) if any(
-            p is not None for p in payloads) else None)
+        bundle = (_pack_bundle(payloads, hubs)
+                  if hubs is not None or any(p is not None for p in payloads)
+                  else None)
         t4 = time.perf_counter()
         stats = {
             "part": self.part,
@@ -400,9 +551,10 @@ class PartitionWorker:
         """Resume path: re-scatter the checkpointed send decision; the
         return plays the role of the checkpointed iteration's superstep
         return so the next iteration consumes it unchanged."""
-        payloads, sent_edges = self._emit(self.last_send)
-        bundle = (_pack_bundle(payloads) if any(
-            p is not None for p in payloads) else None)
+        payloads, hubs, sent_edges = self._emit_all(self.last_send)
+        bundle = (_pack_bundle(payloads, hubs)
+                  if hubs is not None or any(p is not None for p in payloads)
+                  else None)
         stats = {"part": self.part, "iteration": -1,
                  "sent_edges": sent_edges, "changed": self.n_local,
                  "active": 0, "all_halted": bool(self.halted.all()),
@@ -410,6 +562,102 @@ class PartitionWorker:
         return bundle, stats
 
     # -- messaging ------------------------------------------------------------
+
+    def _emit_all(self, out: StepOutput):
+        """Normal scatter + hub-value section; returns
+        (payloads, hubs | None, sent_edges)."""
+        payloads, sent_edges = self._emit(out)
+        hubs, n_hub = self._emit_hub_section(out)
+        return payloads, hubs, sent_edges + n_hub
+
+    def _emit_hub_section(self, out: StepOutput):
+        """Values of owned split hubs, one per (hub, dest-partition):
+        ((hoffs, hids, hvals, hlbls, tr), n_messages) or (None, 0).
+        (hub, dest) pairs are deduped across flows — send_value is
+        flow-independent, and receivers expand each incoming hub id
+        against every per-flow satellite store, so one value per pair
+        suffices even under flow='both'."""
+        prog = self.program
+        names = ("out", "in") if prog.flow == "both" else (prog.flow,)
+        pair_list = []
+        for f in names:
+            rt = self.hub_route.get(f)
+            if rt is None or len(rt["hub_local"]) == 0:
+                continue
+            hl, offs, dests = (rt["hub_local"], rt["dest_offs"],
+                               rt["dest_parts"])
+            sel = np.flatnonzero(out.send_mask[hl])
+            if len(sel) == 0:
+                continue
+            p_hub = np.repeat(hl[sel], offs[sel + 1] - offs[sel])
+            p_dest = dests[ranges_to_indices(offs[sel], offs[sel + 1])]
+            pair_list.append(p_hub * self.P + p_dest)
+        if not pair_list:
+            return None, 0
+        pairs = np.unique(pair_list[0] if len(pair_list) == 1
+                          else np.concatenate(pair_list))
+        hub_local, dest = pairs // self.P, pairs % self.P
+        order = np.argsort(dest, kind="stable")
+        hub_local, dest = hub_local[order], dest[order]
+        hids = hub_local * self.P + self.part
+        if prog.reducer == VOTE:
+            hlbls = out.send_value[hub_local].astype(np.int64)
+            hvals = (out.vote_weight[hub_local].astype(np.float64)
+                     if out.vote_weight is not None
+                     else np.ones(len(hub_local)))
+        else:
+            hlbls = None
+            hvals = out.send_value[hub_local].astype(
+                np.dtype(prog.msg_dtype), copy=False)
+        hoffs = np.searchsorted(dest, np.arange(self.P + 1)).astype(np.int64)
+        return (hoffs, hids, hvals, hlbls, out.target_range), len(pairs)
+
+    def _expand_satellites(self, hub_seg):
+        """One sender's hub values → message entries over this
+        partition's satellite edges (the receiver-side half of the hub
+        scatter — O(local satellite edges), balanced by construction
+        since satellites live with their targets)."""
+        hids, hvals, hlbls, tr = hub_seg
+        prog = self.program
+        names = ("out", "in") if prog.flow == "both" else (prog.flow,)
+        outs = []
+        for f in names:
+            st = self.sats.get(f)
+            if st is None or len(st["hub_ids"]) == 0:
+                continue
+            ids = st["hub_ids"]
+            pos = np.searchsorted(ids, hids)
+            safe = np.minimum(pos, len(ids) - 1)
+            ok = (pos < len(ids)) & (ids[safe] == hids)
+            if not ok.any():
+                continue
+            p = pos[ok]
+            counts = st["offs"][p + 1] - st["offs"][p]
+            eidx = ranges_to_indices(st["offs"][p], st["offs"][p + 1])
+            dsts = st["dst_local"][eidx]
+            if prog.reducer == VOTE:
+                lbl = np.repeat(hlbls[ok], counts)
+                w = (st["weight"][eidx].astype(np.float64)
+                     if st["weight"] is not None else np.ones(len(dsts)))
+                w *= np.repeat(hvals[ok], counts)
+                if tr is not None:
+                    g = dsts * self.P + self.part
+                    m = (g >= tr[0]) & (g < tr[1])
+                    dsts, lbl, w = dsts[m], lbl[m], w[m]
+                if len(dsts):
+                    outs.append(("v", dsts, lbl, w))
+            else:
+                v = np.repeat(hvals[ok], counts, axis=0)
+                if prog.use_edge_weights and st["weight"] is not None:
+                    _combine_weight(v, st["weight"][eidx],
+                                    prog.edge_combine)
+                if tr is not None:
+                    g = dsts * self.P + self.part
+                    m = (g >= tr[0]) & (g < tr[1])
+                    dsts, v = dsts[m], v[m]
+                if len(dsts):
+                    outs.append(("s", dsts, v))
+        return outs
 
     def _merge(self, incoming):
         """incoming: per-sender packed bundles (materialized — Ray resolves
@@ -420,6 +668,10 @@ class PartitionWorker:
         payloads = [p for p in
                     (_unpack_segment(b, self.part) for b in bundles)
                     if p is not None]
+        for b in bundles:
+            hs = _unpack_hubs(b, self.part)
+            if hs is not None:
+                payloads.extend(self._expand_satellites(hs))
         if prog.reducer == VOTE:
             return self._merge_votes(payloads)
         identity = prog.identity()
@@ -752,17 +1004,26 @@ class SuperstepEngine:
     Reusable across programs (the expensive part — loading and CSR-building
     the blocks — happens once per flow)."""
 
-    def __init__(self, graph: PartitionedGraph, num_parts: int | None = None):
+    def __init__(self, graph: PartitionedGraph, num_parts: int | None = None,
+                 hub_degree_threshold: int | str | None = "auto"):
         self.graph = graph
         if graph.kind == "parquet":
             self.P = graph.num_parts_layout
         else:
             self.P = num_parts or self._default_parts()
+        if hub_degree_threshold == "auto":
+            # split only vertices whose single-flow degree rivals a
+            # partition's whole edge share — the 65536 floor keeps every
+            # balanced (and every oracle-fixture) graph byte-identical
+            # to the unsplit layout
+            hub_degree_threshold = max(
+                65536, graph.num_edges // (8 * max(1, self.P)))
+        self.hub_threshold = hub_degree_threshold
         cpus = ray.cluster_resources().get("CPU", self.P)
         num_cpus = max(0.01, min(1.0, cpus / max(1, self.P)))
         self.workers = [
             PartitionWorker.options(num_cpus=num_cpus).remote(
-                p, self.P, graph.n)
+                p, self.P, graph.n, self.hub_threshold)
             for p in range(self.P)
         ]
         self._loaded_flows: set[str] = set()
@@ -790,7 +1051,28 @@ class SuperstepEngine:
                 w.load_blocks_parquet.remote(g.path, tuple(missing), g.weighted)
                 for w in self.workers
             ])
+        if self.hub_threshold and self.P > 1:
+            self._exchange_satellites(missing)
         self._loaded_flows.update(missing)
+
+    def _exchange_satellites(self, flows) -> None:
+        """One-time routing of split-hub edges to their target-owning
+        partitions. The exchange is skipped entirely when no worker
+        extracted hubs (the common, balanced-graph case)."""
+        has = ray.get([w.has_hubs.remote(f)
+                       for f in flows for w in self.workers])
+        if not any(has):
+            return
+        for f in flows:
+            exports = [
+                w.take_satellite_exports.options(num_returns=self.P)
+                .remote(f) for w in self.workers]
+            # exports[p][q]: worker p's satellite edges owned by q —
+            # passed as varargs so Ray resolves each ref on q's node
+            ray.get([
+                self.workers[q].ingest_satellites.remote(
+                    f, *[exports[p][q] for p in range(self.P)])
+                for q in range(self.P)])
 
     def run(
         self,
@@ -861,6 +1143,15 @@ class SuperstepEngine:
                 "phase_max": {k: max(s.get(k, 0.0) for s in stats)
                               for k in ("t_merge", "t_compute", "t_emit",
                                         "t_pack", "t_fetch")},
+                # per-partition breakdown (part-ordered) so skew /
+                # hot-vertex imbalance is attributable per stage
+                "phase_parts": {k: [round(s.get(k, 0.0), 6)
+                                    for s in sorted(stats,
+                                                    key=lambda s: s["part"])]
+                                for k in ("t_merge", "t_emit")},
+                "sent_parts": [s["sent_edges"]
+                               for s in sorted(stats,
+                                               key=lambda s: s["part"])],
             })
             if any(s.get("checkpointed") for s in stats):
                 checkpoint_iters.append(done_it)

@@ -57,13 +57,20 @@ class WorkerContext:
     """Per-partition view handed to VertexProgram methods inside the worker."""
 
     def __init__(self, part: int, num_parts: int, n_global: int, n_local: int,
-                 params: dict, blocks: dict):
+                 params: dict, blocks: dict, hub_deg: dict | None = None,
+                 sats: dict | None = None):
         self.part = part
         self.num_parts = num_parts
         self.n_global = n_global
         self.n_local = n_local
         self.params = params
         self._blocks = blocks
+        # hot-vertex splitting compensation (stages/superstep.py):
+        # hub_deg[flow] = (int degree, weighted degree) removed from the
+        # flow block into remote satellites; sats[flow] = this
+        # partition's satellite CSR of REMOTE hubs' edges
+        self._hub_deg = hub_deg or {}
+        self._sats = sats or {}
         self._deg_cache: dict = {}
 
     def global_ids(self) -> np.ndarray:
@@ -91,6 +98,10 @@ class WorkerContext:
                 deg += np.bincount(blk.gather_local, weights=w, minlength=self.n_local)
             else:
                 deg += np.bincount(blk.gather_local, minlength=self.n_local)
+            hd = self._hub_deg.get(f)
+            if hd is not None:
+                # degree split out into remote satellite edges
+                deg += (hd[1] if weighted else hd[0]).astype(deg.dtype)
         self._deg_cache[key] = deg
         return deg
 
@@ -106,6 +117,14 @@ class WorkerContext:
             owns.append(blk.gather_local * self.num_parts + self.part)
             tgt_part, tgt_local = np.divmod(blk.combined_key, blk.n_max)
             tgts.append(tgt_local * self.num_parts + tgt_part)
+        for f, st in self._sats.items():
+            # satellite edges of remote hubs: this partition owns the
+            # TARGET end (dst_local); the hub is the remote end
+            if st is None or len(st["dst_local"]) == 0:
+                continue
+            owns.append(st["dst_local"] * self.num_parts + self.part)
+            counts = np.diff(st["offs"])
+            tgts.append(np.repeat(st["hub_ids"], counts))
         if not owns:
             e = np.empty(0, dtype=np.int64)
             return e, e
