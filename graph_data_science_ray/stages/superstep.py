@@ -967,6 +967,27 @@ class PartitionWorker:
         )
         return True
 
+    def local_degrees(self, flows: tuple[str, ...],
+                      weighted: bool) -> np.ndarray:
+        """Per-owned-vertex degree over the loaded flow blocks (incl.
+        degree split out into satellites) — one RPC round instead of a
+        Dataset scan+shuffle for degree-style node properties."""
+        deg = np.zeros(self.n_local, dtype=np.float64)
+        for f in flows:
+            blk = self.blocks.get(f)
+            if blk is not None and blk.num_edges:
+                if weighted and blk.weight is not None:
+                    deg += np.bincount(blk.gather_local,
+                                       weights=blk.weight,
+                                       minlength=self.n_local)
+                else:
+                    deg += np.bincount(blk.gather_local,
+                                       minlength=self.n_local)
+            hd = self.hub_deg.get(f)
+            if hd is not None:
+                deg += hd[1] if weighted else hd[0]
+        return deg
+
     def get_state_table(self, keys: tuple[str, ...]) -> pa.Table:
         cols = {"vid": pa.array(
             np.arange(self.n_local, dtype=np.int64) * self.P + self.part)}
@@ -1270,6 +1291,20 @@ class SuperstepEngine:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, path)
+
+    def degrees(self, flow: str = "both",
+                weighted: bool = False) -> np.ndarray:
+        """Global [n] degree array via one worker RPC round (reusing the
+        loaded CSR blocks — no Dataset scan/shuffle). flow: 'out' |
+        'in' | 'both' (undirected)."""
+        self._ensure_blocks(flow)
+        flows = ("out", "in") if flow == "both" else (flow,)
+        parts = ray.get([w.local_degrees.remote(flows, weighted)
+                         for w in self.workers])
+        out = np.zeros(self.graph.n, dtype=np.float64)
+        for p, arr in enumerate(parts):
+            out[p::self.P] = arr
+        return out
 
     def shutdown(self) -> None:
         for w in self.workers:

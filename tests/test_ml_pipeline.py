@@ -175,6 +175,47 @@ def test_random_search_space():
     }, trials=8, seed=5)
 
 
+def test_nc_shard_trainer_matches_numpy_replica(ray_session):
+    """The shard-actor trainer (r4: per-vid-range shards held across
+    epochs, partials summed in fixed shard order) must match an
+    in-memory NumPy replica of the same computation — the distributed
+    machinery adds no nondeterminism — and repeat runs must be
+    byte-identical."""
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        NodeClassificationPipeline)
+    from graph_data_science_ray.pipelines.node_classification import (
+        _hash_u01, _softmax)
+    g, labels = three_cliques()
+    pipe = (NodeClassificationPipeline()
+            .add_node_property("fastRP", dim=16, seed=2))
+    m1 = pipe.train(g, labels, seed=2, epochs=40)
+    m2 = pipe.train(g, labels, seed=2, epochs=40)
+    W1 = m1["model"]["weights"]
+    assert np.array_equal(W1, m2["model"]["weights"])
+
+    # NumPy replica: same features, same split, same per-shard partial
+    # structure (single shard at this size), same update expressions
+    from graph_data_science_ray.pipelines.ml_pipeline import (
+        compute_node_properties)
+    F = compute_node_properties(g, pipe.node_property_steps)
+    vids = np.arange(g.n)
+    classes, y = np.unique(labels, return_inverse=True)
+    test = _hash_u01(vids, 2 + 99) < 0.3
+    grp = (_hash_u01(vids, 2 + 7) * 1).astype(np.int64)
+    grp[test] = -1
+    X = F[vids][grp >= 0]
+    yy = y[grp >= 0]
+    n_train = int((grp >= 0).sum())
+    W = np.zeros((F.shape[1] + 1, len(classes)))
+    for _ in range(40):
+        P = _softmax(X @ W[:-1] + W[-1])
+        P[np.arange(len(yy)), yy] -= 1.0
+        gsum = np.vstack([X.T @ P, P.sum(axis=0)])
+        gsum[:-1] += 1e-4 * W[:-1] * n_train
+        W = W - 0.5 * gsum / max(1, n_train)
+    np.testing.assert_allclose(W1, W, rtol=1e-12, atol=1e-15)
+
+
 def test_nc_model_selection_picks_better_candidate(ray_session):
     """CV selection must prefer a real trainer over a 0-epoch dud
     (all-zero weights predict class 0 for everything)."""
