@@ -22,9 +22,14 @@ just reachability):
              (add 0).
   betweenness(v) += Σ_j δ_j(v), v ≠ s_j.
 
-Forward state (dist/sigma, [n, k]) moves to the backward program via a
-single ray.put — one plasma copy, fetched zero-copy per node — the same
-per-source broadcast the reference's per-thread Brandes tasks imply.
+Forward state (dist/sigma) never lands on the driver: the backward
+program receives the forward run's per-partition state-table REFS and
+each worker fetches only its own partition's slice zero-copy
+(round 4 — the previous design's driver round-trip materialized two
+[n, 62] list columns through pandas and re-broadcast them as one
+O(n·k) plasma object per batch, which dominated betweenness wall time).
+Per-lane max levels and the final per-vertex delta sums reduce through
+small Ray tasks over the same refs.
 
 Sampled approximation: pass `sources` (the reference's samplingSize
 random-source strategy); full exact = all vertices.
@@ -36,7 +41,8 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..stages.superstep import PartitionedGraph, SuperstepEngine
+from ..stages.superstep import (PartitionedGraph, SuperstepEngine,
+                                _pa_to_np)
 from ..stages.vertex_program import SUM, StepOutput, VertexProgram, WorkerContext
 
 # Lanes per engine-run pair. Unlike the MS-BFS kernels this batch is
@@ -46,13 +52,6 @@ from ..stages.vertex_program import SUM, StepOutput, VertexProgram, WorkerContex
 # lanes 11.8 s — wider batches ship proportionally wider [n, k] dense
 # state and don't pay for the saved per-run fixed cost, so keep 62.
 _MAX_BATCH = 62
-
-
-def _stack(df: pd.DataFrame, col: str, n: int, k: int,
-           dtype=np.float64) -> np.ndarray:
-    out = np.zeros((n, k), dtype=dtype)
-    out[df["vid"].to_numpy()] = np.stack(df[col].to_numpy())
-    return out
 
 
 class _ForwardBatchProgram(VertexProgram):
@@ -97,20 +96,19 @@ class _BackwardBatchProgram(VertexProgram):
     msg_dtype = "float64"
     state_keys = ("delta",)
 
-    def __init__(self, fwd_ref, max_levels: np.ndarray):
-        # ObjectRef to (dist [n,k], sigma [n,k]) — one plasma object,
-        # sliced per partition in init_state
-        self.fwd_ref = fwd_ref
+    def __init__(self, fwd_state_refs: list, max_levels: np.ndarray):
+        # per-partition refs to the FORWARD run's state tables
+        # (vid, dist, sigma) — each worker fetches only its own slice
+        self.fwd_state_refs = fwd_state_refs
         self.max_levels = np.asarray(max_levels, dtype=np.int64)
         self.msg_dim = int(len(self.max_levels))
 
     def init_state(self, ctx: WorkerContext) -> dict[str, np.ndarray]:
-        dist, sigma = ray.get(self.fwd_ref)
-        gids = ctx.global_ids()
+        tbl = ray.get(self.fwd_state_refs[ctx.part])
         return {
             "delta": np.zeros((ctx.n_local, self.msg_dim)),
-            "dist": dist[gids],
-            "sigma": sigma[gids],
+            "dist": _pa_to_np(tbl["dist"]),
+            "sigma": _pa_to_np(tbl["sigma"]),
         }
 
     def compute(self, ctx, state, msgs, has_msg, active, iteration) -> StepOutput:
@@ -133,6 +131,29 @@ class _BackwardBatchProgram(VertexProgram):
                           halt_mask=active.copy())
 
 
+@ray.remote(num_cpus=0)
+def _lane_max_levels(tbl) -> np.ndarray:
+    """Per-lane max BFS level in one partition's forward state table."""
+    d = _pa_to_np(tbl["dist"])
+    if len(d) == 0:
+        return np.full(d.shape[1] if d.ndim == 2 else 0, -1, np.int64)
+    return d.max(axis=0)
+
+
+@ray.remote(num_cpus=0)
+def _delta_rowsum(tbl, batch: np.ndarray):
+    """(vids, Σ_lanes delta) for one partition, with each source's own
+    lane zeroed (≙ betweenness's source exclusion)."""
+    delta = _pa_to_np(tbl["delta"])
+    vid = tbl["vid"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(vid, batch)
+    ok = (pos < len(vid))
+    safe = np.minimum(pos, max(0, len(vid) - 1))
+    hit = ok & (len(vid) > 0) & (vid[safe] == batch)
+    delta[safe[hit], np.flatnonzero(hit)] = 0.0
+    return vid, delta.sum(axis=1)
+
+
 def betweenness(
     graph: PartitionedGraph,
     sources: np.ndarray | None = None,
@@ -150,25 +171,23 @@ def betweenness(
     try:
         for lo in range(0, len(srcs), batch_size):
             batch = srcs[lo:lo + batch_size]
-            k = len(batch)
             fwd = eng.run(_ForwardBatchProgram(batch),
                           max_iterations=n + 1, collect=("dist", "sigma"))
-            fdf = fwd.to_pandas()
-            dist = np.full((n, k), -1, dtype=np.int64)
-            dist[fdf["vid"].to_numpy()] = np.stack(fdf["dist"].to_numpy())
-            sigma = _stack(fdf, "sigma", n, k)
-            max_levels = dist.max(axis=0)
+            # per-lane max level via per-partition reduce (the [n, k]
+            # forward state itself never leaves the workers/plasma)
+            max_levels = np.max(
+                ray.get([_lane_max_levels.remote(r)
+                         for r in fwd.state_refs]), axis=0)
             if (max_levels <= 0).all():
                 continue
-            fwd_ref = ray.put((dist, sigma))
             bwd = eng.run(
-                _BackwardBatchProgram(fwd_ref, np.maximum(max_levels, 0)),
+                _BackwardBatchProgram(fwd.state_refs,
+                                      np.maximum(max_levels, 0)),
                 max_iterations=int(max_levels.max()) + 1,
                 collect=("delta",))
-            delta = _stack(bwd.to_pandas(), "delta", n, k)
-            delta[batch, np.arange(k)] = 0.0
-            score += delta.sum(axis=1)
-            del fwd_ref
+            for vid, s in ray.get([_delta_rowsum.remote(r, batch)
+                                   for r in bwd.state_refs]):
+                score[vid] += s
     finally:
         if engine is None:
             eng.shutdown()
