@@ -102,6 +102,46 @@ def test_near_dedup_exact_is_shingle_set_equality(ray_session):
     assert by_id[2] == 2
 
 
+def test_dedup_pair_stream_engine_path(ray_session, monkeypatch):
+    """All-duplicate corpus with the WCC-engine gate forced to 1: the
+    verified-pair stream takes the no-driver-transit route
+    (cluster_assignments_ds → compact-encode map_batches →
+    build_int_graph → superstep WCC) and still produces one cluster.
+    Proves the pairs Dataset path end-to-end; driver state is the
+    O(labels) map only."""
+    n = 40
+    texts = [f"the same long duplicated document body everywhere {i % 2}"
+             .replace(str(i % 2), "") for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64) * 7 + 3),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    monkeypatch.setattr(dedup, "_WCC_ENGINE_PAIRS", 1)
+    out = dedup.minhash_dedup(ds, threshold=0.9).to_pandas()
+    assert (out["cluster_id"] == 3).all()        # min sparse id wins
+    assert out["keep"].sum() == 1
+    out2 = dedup.simhash_dedup(ds, max_distance=3).to_pandas()
+    assert (out2["cluster_id"] == 3).all()
+    assert out2["keep"].sum() == 1
+
+
+def test_cluster_assignments_ds_matches_array_path(ray_session):
+    """Dataset-pair clustering == array-pair clustering on the same
+    pair set (sparse ids, multiple components)."""
+    ids = np.array([3, 10, 24, 31, 57, 900], dtype=np.int64)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(["x"] * len(ids), type=pa.string())}))
+    a = np.array([10, 24, 900], dtype=np.int64)
+    b = np.array([57, 10, 31], dtype=np.int64)
+    via_arrays = dedup.cluster_assignments(docs, a, b).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pairs = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    via_ds = dedup.cluster_assignments_ds(docs, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_arrays, via_ds)
+
+
 def test_ngram_dedup(docs_ds):
     clustered = dedup.ngram_dedup(docs_ds, threshold=0.7).to_pandas()
     by_id = clustered.set_index("doc_id")["cluster_id"]
