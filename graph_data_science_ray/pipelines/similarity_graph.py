@@ -58,11 +58,39 @@ def _distinct_out_degree(graph: PartitionedGraph) -> np.ndarray:
     return deg
 
 
-def _counted_pairs(graph: PartitionedGraph, eligible_ref, num_buckets: int):
-    """(a, b, inter) for a < b: source pairs sharing ≥1 out-target,
-    with inter = exact distinct-neighbor intersection size."""
+def _weighted_sq_norms(graph: PartitionedGraph) -> np.ndarray:
+    """Σ w² per source over the graph's (pre-aggregated) distinct
+    edges — the cosine denominator; compact (vid, s) partials only."""
+    n = graph.n
+    out = np.zeros(n, dtype=np.float64)
+    edges = graph.edges_dataset(("src", "dst", "weight"), flow="out")
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        vids, inv = np.unique(s, return_inverse=True)
+        return pa.table({"vid": vids,
+                         "s": np.bincount(inv, weights=w * w)})
+
+    compact = edges.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    for batch in compact.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow"):
+        np.add.at(out, batch["vid"].to_numpy(zero_copy_only=False),
+                  batch["s"].to_numpy(zero_copy_only=False))
+    return out
+
+
+def _counted_pairs(graph: PartitionedGraph, eligible_ref, num_buckets: int,
+                   weighted: bool = False):
+    """(a, b, inter) for a < b: source pairs sharing ≥1 out-target.
+    Unweighted: inter = exact distinct-neighbor intersection size.
+    Weighted: inter = Σ_t w_a(t)·w_b(t) over shared targets t (the
+    cosine numerator; weights are per distinct edge — parallel edges
+    are pre-aggregated at graph build)."""
     from ..stages.shuffle import aggregate_rows
-    edges = graph.edges_dataset(("src", "dst"), flow="out")
+    cols = ("src", "dst", "weight") if weighted else ("src", "dst")
+    edges = graph.edges_dataset(cols, flow="out")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         d = t["dst"].to_numpy(zero_copy_only=False)
@@ -75,24 +103,38 @@ def _counted_pairs(graph: PartitionedGraph, eligible_ref, num_buckets: int):
         d = group["dst"].to_numpy()
         ok = eligible[s]
         s, d = s[ok], d[ok]
-        # distinct (dst, src), grouped by dst
-        ps = np.unique(np.stack([d, s], axis=1), axis=0)
-        if len(ps) == 0:
+        if weighted:
+            w = group["weight"].to_numpy()[ok]
+            order = np.lexsort((s, d))
+            dd, ss, ww = d[order], s[order], w[order]
+        else:
+            # distinct (dst, src), grouped by dst
+            ps = np.unique(np.stack([d, s], axis=1), axis=0)
+            if len(ps) == 0:
+                e = np.empty(0, np.int64)
+                return pd.DataFrame({"a": e, "b": e, "inter": e})
+            dd, ss = ps[:, 0], ps[:, 1]
+        if len(dd) == 0:
             e = np.empty(0, np.int64)
             return pd.DataFrame({"a": e, "b": e, "inter": e})
-        dd, ss = ps[:, 0], ps[:, 1]
         change = np.flatnonzero(np.r_[dd[1:] != dd[:-1], True]) + 1
         group_end = np.repeat(change, np.diff(np.r_[0, change]))
         li, ri = _pairs_within_groups(group_end)
         if len(li) == 0:
             e = np.empty(0, np.int64)
-            return pd.DataFrame({"a": e, "b": e, "inter": e})
-        # ss ascends within each dst run, so a < b canonically; the
-        # multiplicity of (a, b) here = #shared dsts in THIS bucket
-        pairs, cnts = np.unique(np.stack([ss[li], ss[ri]], axis=1),
-                                axis=0, return_counts=True)
+            return pd.DataFrame({"a": e, "b": e,
+                                 "inter": e if not weighted
+                                 else np.empty(0, np.float64)})
+        # ss ascends within each dst run, so a < b canonically
+        pairs, inv = np.unique(np.stack([ss[li], ss[ri]], axis=1),
+                               axis=0, return_inverse=True)
+        if weighted:
+            vals = np.bincount(inv, weights=ww[li] * ww[ri],
+                               minlength=len(pairs))
+        else:
+            vals = np.bincount(inv, minlength=len(pairs)).astype(np.int64)
         return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1],
-                             "inter": cnts.astype(np.int64)})
+                             "inter": vals})
 
     counted = (edges.map_batches(add_bucket, batch_format="pyarrow")
                .groupby("__bucket")
@@ -102,21 +144,35 @@ def _counted_pairs(graph: PartitionedGraph, eligible_ref, num_buckets: int):
 
 def node_similarity(
     graph: PartitionedGraph,
-    metric: str = "jaccard",         # jaccard | overlap
+    metric: str = "jaccard",         # jaccard | overlap | cosine
     degree_cutoff: int = 1,
     similarity_cutoff: float = 1e-42,
     top_k: int | None = 10,
+    bottom_k: int | None = None,
     top_n: int | None = None,
     num_buckets: int = 16,
 ) -> pd.DataFrame:
     """(node1, node2, similarity) — both directions per pair like the
-    reference's stream mode (a→b and b→a when both survive topK)."""
+    reference's stream mode (a→b and b→a when both survive topK).
+
+    metric='cosine' (≙ the reference's weighted similarity computer,
+    similarity/nodesim/NodeSimilarity.java + SimilarityComputer
+    cosine): on a weighted graph, Σ w_a(t)·w_b(t) over shared targets
+    divided by the weight-vector norms; on an unweighted graph the
+    set form inter / sqrt(deg_a · deg_b). bottom_k keeps each node's
+    K LEAST similar neighbors instead of top_k (the reference's
+    bottomK config); set top_k=None when using it."""
+    if metric not in ("jaccard", "overlap", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    weighted = metric == "cosine" and graph.weighted
     deg = _distinct_out_degree(graph)
     eligible = deg >= degree_cutoff
     eligible_ref = ray.put(eligible)
     deg_ref = ray.put(deg)
+    norm_ref = (ray.put(_weighted_sq_norms(graph)) if weighted else None)
 
-    pairs = _counted_pairs(graph, eligible_ref, num_buckets)
+    pairs = _counted_pairs(graph, eligible_ref, num_buckets,
+                           weighted=weighted)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         dg = ray.get(deg_ref)
@@ -125,8 +181,14 @@ def node_similarity(
         inter = df["inter"].to_numpy().astype(np.float64)
         if metric == "jaccard":
             denom = dg[a] + dg[b] - inter
-        else:  # overlap
+        elif metric == "overlap":
             denom = np.minimum(dg[a], dg[b]).astype(np.float64)
+        elif weighted:
+            n2 = ray.get(norm_ref)
+            denom = np.sqrt(n2[a]) * np.sqrt(n2[b])
+        else:  # unweighted cosine over neighbor sets
+            denom = np.sqrt(dg[a].astype(np.float64)) * \
+                np.sqrt(dg[b].astype(np.float64))
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = np.where(denom > 0, inter / denom, 0.0)
         keep = sims >= similarity_cutoff
@@ -146,7 +208,10 @@ def node_similarity(
 
     streamed = scored.map_batches(both_directions, batch_format="pandas")
 
-    if top_k is not None:
+    if top_k is not None or bottom_k is not None:
+        k = top_k if top_k is not None else bottom_k
+        sim_desc = top_k is not None
+
         def node_bucket(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["__bucket"] = df["node1"].to_numpy() % num_buckets
@@ -154,8 +219,8 @@ def node_similarity(
 
         def topk_kernel(group: pd.DataFrame) -> pd.DataFrame:
             return (group.sort_values(["node1", "similarity", "node2"],
-                                      ascending=[True, False, True])
-                    .groupby("node1", sort=False).head(top_k)
+                                      ascending=[True, not sim_desc, True])
+                    .groupby("node1", sort=False).head(k)
                     [["node1", "node2", "similarity"]])
 
         streamed = (streamed.map_batches(node_bucket, batch_format="pandas")

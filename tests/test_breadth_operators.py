@@ -83,6 +83,54 @@ def test_node_similarity_topk(ray_session):
     assert got.groupby("node1").size().max() <= 3
 
 
+def test_node_similarity_cosine_weighted(ray_session):
+    """Weighted cosine (r4: the reference's weighted similarity
+    computer) vs brute force over aggregated edge-weight vectors."""
+    rng = np.random.default_rng(5)
+    src, dst, _ = random_graph(40, 250, seed=5)
+    # distinct edges with integer weights (pre-aggregated contract)
+    e = np.unique(np.stack([src, dst], axis=1), axis=0)
+    src, dst = e[:, 0], e[:, 1]
+    w = rng.integers(1, 6, len(src)).astype(np.float64)
+    g = PartitionedGraph.from_arrays(40, src, dst, w)
+    got = node_similarity(g, metric="cosine", top_k=None,
+                          similarity_cutoff=1e-9)
+    vec = {v: {} for v in range(40)}
+    for a, b, ww in zip(src, dst, w):
+        vec[a][b] = ww
+    import math
+    expected = {}
+    for a in range(40):
+        for b in range(a + 1, 40):
+            shared = set(vec[a]) & set(vec[b])
+            if not shared:
+                continue
+            dot = sum(vec[a][t] * vec[b][t] for t in shared)
+            na = math.sqrt(sum(x * x for x in vec[a].values()))
+            nb = math.sqrt(sum(x * x for x in vec[b].values()))
+            expected[(a, b)] = dot / (na * nb)
+    got_pairs = {(min(r.node1, r.node2), max(r.node1, r.node2)):
+                 r.similarity for r in got.itertuples()}
+    assert set(got_pairs) == set(expected)
+    for k, v in expected.items():
+        assert abs(got_pairs[k] - v) < 1e-12
+
+
+def test_node_similarity_bottomk(ray_session):
+    src, dst, _ = random_graph(60, 400, seed=4)
+    g = PartitionedGraph.from_arrays(60, src, dst)
+    full = node_similarity(g, top_k=None, similarity_cutoff=1e-9)
+    bot = node_similarity(g, top_k=None, bottom_k=2,
+                          similarity_cutoff=1e-9)
+    assert bot.groupby("node1").size().max() <= 2
+    # each node's bottom-2 really are its smallest similarities
+    for n1, grp in bot.groupby("node1"):
+        all_sims = np.sort(full[full["node1"] == n1]
+                           ["similarity"].to_numpy())
+        got = np.sort(grp["similarity"].to_numpy())
+        np.testing.assert_allclose(got, all_sims[:len(got)], rtol=1e-12)
+
+
 def test_generator_semantics():
     src, dst, _ = generate_random_graph(1000, 8, "uniform", seed=1)
     deg = np.bincount(src, minlength=1000)
