@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..stages.superstep import PartitionedGraph
 
@@ -329,14 +330,30 @@ def modularity_optimization(
                  "num_colors": num_colors}
 
 
+@ray.remote(num_cpus=0)
+def _assemble_labels(n: int, *tables) -> np.ndarray:
+    """Full per-vid label array assembled from the engine's
+    per-partition state tables INSIDE a worker task — the array lands
+    in plasma and the driver handles only its ref (r4: previously the
+    driver downloaded the O(V) array and re-uploaded it for the
+    contraction broadcast)."""
+    labels = np.arange(n, dtype=np.int64)
+    for t in tables:
+        labels[t["vid"].to_numpy(zero_copy_only=False)] = \
+            t["label"].to_numpy(zero_copy_only=False)
+    return labels
+
+
 def louvain_distributed_level(
     graph: PartitionedGraph,
     waves: int | None = None,
     max_sweeps: int = 10,
     self_w: np.ndarray | None = None,
     num_parts: int | None = None,
-) -> np.ndarray:
-    """One level of distributed local-moving; returns per-vid labels."""
+) -> "ray.ObjectRef":
+    """One level of distributed local-moving; returns an ObjectRef to
+    the per-vid label array (assembled worker-side — callers that need
+    the array driver-side ray.get it once, for output composition)."""
     from ..stages.superstep import SuperstepEngine
     n = graph.n
     if graph.kind == "arrays":
@@ -349,7 +366,7 @@ def louvain_distributed_level(
         w_sum = float(graph.num_edges)
     two_m = 2.0 * (w_sum + (self_w.sum() if self_w is not None else 0.0))
     if two_m == 0:
-        return np.arange(n, dtype=np.int64)
+        return ray.put(np.arange(n, dtype=np.int64))
     if waves is None:
         waves = n if n <= 2048 else 16
     prog = LouvainLocalMoveProgram(n, two_m, waves, self_w=self_w,
@@ -358,26 +375,24 @@ def louvain_distributed_level(
     try:
         res = eng.run(prog, max_iterations=max_sweeps * prog.waves + 2,
                       collect=("label",))
+        labels_ref = _assemble_labels.remote(n, *res.state_refs)
+        # materialize before the engine (and its state tables) go away
+        ray.wait([labels_ref])
     finally:
         eng.shutdown()
-    df = res.to_pandas()
-    labels = np.arange(n, dtype=np.int64)
-    labels[df["vid"].to_numpy()] = df["label"].to_numpy()
-    return labels
+    return labels_ref
 
 
 def _contract_edges_distributed(
-    graph: PartitionedGraph, labels: np.ndarray,
+    graph: PartitionedGraph, labels_ref,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Re-key the graph's edge table by community and sum parallel edges
-    — map_batches relabel with a broadcast label array, then the
+    — map_batches relabel with the broadcast label-array REF (assembled
+    worker-side, never relayed through the driver), then the
     hash-bucketed groupby-sum (stages.shuffle.aggregate_rows). The
     contracted edge set (communities², usually ≪ E) lands on the driver
     for the remaining small levels."""
-    import ray
-
     from ..stages.shuffle import aggregate_rows
-    labels_ref = ray.put(labels)
     cols = ("src", "dst", "weight") if graph.weighted else ("src", "dst")
     edges = graph.edges_dataset(cols, flow="out")
 
@@ -419,8 +434,12 @@ def louvain(
     start_level = 0
 
     if graph.kind == "parquet":
-        labels = louvain_distributed_level(graph, max_sweeps=max_sweeps)
-        src, dst, w = _contract_edges_distributed(graph, labels)
+        labels_ref = louvain_distributed_level(graph,
+                                               max_sweeps=max_sweeps)
+        src, dst, w = _contract_edges_distributed(graph, labels_ref)
+        # the ONLY driver download of the O(V) level-0 array — output
+        # (mapping) composition; the contraction above used the ref
+        labels = ray.get(labels_ref)
         cur_n = (int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
                  if len(src) else 0)
         # Q of the original labels == Q of the contracted graph under
@@ -447,9 +466,8 @@ def louvain(
             self_w = np.bincount(src[sl], weights=w[sl], minlength=cur_n)
             level_graph = PartitionedGraph.from_arrays(
                 cur_n, src[~sl], dst[~sl], w[~sl])
-            labels = louvain_distributed_level(level_graph,
-                                               max_sweeps=max_sweeps,
-                                               self_w=self_w)
+            labels = ray.get(louvain_distributed_level(
+                level_graph, max_sweeps=max_sweeps, self_w=self_w))
         else:
             labels = _local_moving(cur_n, src, dst, w, max_sweeps=max_sweeps)
         q = modularity(cur_n, src, dst, w, labels)

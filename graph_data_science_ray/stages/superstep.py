@@ -306,6 +306,20 @@ class PartitionWorker:
         #   "dst_local": [E_sat], "weight": [E_sat] | None} CSR by hub
         self.sats: dict[str, dict | None] = {}
         self._pending_exports: dict[str, list] = {}
+        # destination-group routing (node affinity): by default one
+        # group holding every partition — the single-bundle wire format.
+        # On a multi-node cluster the engine groups partitions by node
+        # so each receiver node pulls ONE object per sender containing
+        # only its partitions' segments (cross-node traffic per
+        # superstep drops from senders × whole-bundle to
+        # senders × node-slice).
+        self.set_groups([list(range(num_parts))])
+
+    def set_groups(self, groups: list[list[int]]) -> None:
+        self.groups = [sorted(g) for g in groups]
+        self.my_group = next(i for i, g in enumerate(self.groups)
+                             if self.part in g)
+        self.my_pos = self.groups[self.my_group].index(self.part)
 
     # -- loading ------------------------------------------------------------
 
@@ -380,6 +394,9 @@ class PartitionWorker:
     def has_hubs(self, flow: str) -> bool:
         rt = self.hub_route.get(flow)
         return rt is not None and len(rt["hub_local"]) > 0
+
+    def node_id(self) -> str:
+        return ray.get_runtime_context().get_node_id()
 
     def ingest_satellites(self, flow: str, *exports) -> int:
         """Merge satellite exports from all senders into this
@@ -498,14 +515,14 @@ class PartitionWorker:
         if self.program.needs_master and master_value is not None:
             master_converged = bool(
                 self.program.apply_master(self.ctx, self.state, master_value))
-        bundle, stats = self._compute_one(iteration, segments)
+        bundles, stats = self._compute_one(iteration, segments)
         stats["t_fetch"] = t_fetch
         if master_converged is not None:
             stats["master_converged_local"] = master_converged
         if checkpoint_dir is not None:
             self.checkpoint(iteration, checkpoint_dir)
             stats["checkpointed"] = True
-        return bundle, stats
+        return (*bundles, stats)
 
     def _compute_one(self, iteration: int, payload_segments):
         t0 = time.perf_counter()
@@ -528,9 +545,7 @@ class PartitionWorker:
         t2 = time.perf_counter()
         payloads, hubs, sent_edges = self._emit_all(out)
         t3 = time.perf_counter()
-        bundle = (_pack_bundle(payloads, hubs)
-                  if hubs is not None or any(p is not None for p in payloads)
-                  else None)
+        bundles = self._pack_groups(payloads, hubs)
         t4 = time.perf_counter()
         stats = {
             "part": self.part,
@@ -545,21 +560,43 @@ class PartitionWorker:
         }
         if out.master_partial is not None:
             stats["master_partial"] = out.master_partial
-        return bundle, stats
+        return bundles, stats
+
+    def _pack_groups(self, payloads, hubs) -> list:
+        """One packed bundle per destination group (None when the group
+        gets nothing). With the default single group this is exactly
+        the old one-bundle-per-sender wire format."""
+        out = []
+        for parts in self.groups:
+            seg = [payloads[q] for q in parts]
+            ghubs = None
+            if hubs is not None:
+                hoffs, hids, hvals, hlbls, tr = hubs
+                pidx = np.asarray(parts, dtype=np.int64)
+                lo, hi = hoffs[pidx], hoffs[pidx + 1]
+                take = ranges_to_indices(lo, hi)
+                if len(take):
+                    g_hoffs = np.zeros(len(parts) + 1, dtype=np.int64)
+                    np.cumsum(hi - lo, out=g_hoffs[1:])
+                    ghubs = (g_hoffs, hids[take], hvals[take],
+                             None if hlbls is None else hlbls[take], tr)
+            if ghubs is not None or any(s is not None for s in seg):
+                out.append(_pack_bundle(seg, ghubs))
+            else:
+                out.append(None)
+        return out
 
     def reemit(self):
         """Resume path: re-scatter the checkpointed send decision; the
         return plays the role of the checkpointed iteration's superstep
         return so the next iteration consumes it unchanged."""
         payloads, hubs, sent_edges = self._emit_all(self.last_send)
-        bundle = (_pack_bundle(payloads, hubs)
-                  if hubs is not None or any(p is not None for p in payloads)
-                  else None)
+        bundles = self._pack_groups(payloads, hubs)
         stats = {"part": self.part, "iteration": -1,
                  "sent_edges": sent_edges, "changed": self.n_local,
                  "active": 0, "all_halted": bool(self.halted.all()),
                  "wall_sec": 0.0}
-        return bundle, stats
+        return (*bundles, stats)
 
     # -- messaging ------------------------------------------------------------
 
@@ -665,11 +702,13 @@ class PartitionWorker:
         this worker consumes segment index `self.part` of each."""
         prog = self.program
         bundles = [b for b in incoming if b is not None]
+        # incoming bundles are MY GROUP's slices: my segment sits at my
+        # position within the group (default single group → my part id)
         payloads = [p for p in
-                    (_unpack_segment(b, self.part) for b in bundles)
+                    (_unpack_segment(b, self.my_pos) for b in bundles)
                     if p is not None]
         for b in bundles:
-            hs = _unpack_hubs(b, self.part)
+            hs = _unpack_hubs(b, self.my_pos)
             if hs is not None:
                 payloads.extend(self._expand_satellites(hs))
         if prog.reducer == VOTE:
@@ -1026,7 +1065,19 @@ class SuperstepEngine:
     the blocks — happens once per flow)."""
 
     def __init__(self, graph: PartitionedGraph, num_parts: int | None = None,
-                 hub_degree_threshold: int | str | None = "auto"):
+                 hub_degree_threshold: int | str | None = "auto",
+                 node_affinity: bool | list[list[int]] = False):
+        """node_affinity — destination-group bundle routing for
+        multi-node clusters: False (default) keeps the single-bundle
+        wire format (one packed object per sender per superstep; every
+        receiver reads its segment zero-copy — optimal on one node).
+        True groups partitions by the node their worker actor landed
+        on, so each sender emits one object PER NODE holding only that
+        node's partitions' segments: cross-node traffic per superstep
+        drops from senders × whole-bundle to senders × node-slice,
+        and intra-node receivers still share one object. A list of
+        partition-id groups pins the routing table explicitly
+        (tests / custom placement)."""
         self.graph = graph
         if graph.kind == "parquet":
             self.P = graph.num_parts_layout
@@ -1047,7 +1098,35 @@ class SuperstepEngine:
                 p, self.P, graph.n, self.hub_threshold)
             for p in range(self.P)
         ]
+        try:
+            self.groups = self._resolve_groups(node_affinity)
+        except Exception:
+            self.shutdown()   # leaked actors hold CPU reservations
+            raise
+        self.group_of = np.empty(self.P, dtype=np.int64)
+        for gi, g in enumerate(self.groups):
+            for q in g:
+                self.group_of[q] = gi
+        if len(self.groups) > 1 or self.groups[0] != list(range(self.P)):
+            ray.get([w.set_groups.remote(self.groups)
+                     for w in self.workers])
         self._loaded_flows: set[str] = set()
+
+    def _resolve_groups(self, node_affinity) -> list[list[int]]:
+        if node_affinity is False or node_affinity is None:
+            return [list(range(self.P))]
+        if node_affinity is True:
+            nodes = ray.get([w.node_id.remote() for w in self.workers])
+            by_node: dict[str, list[int]] = {}
+            for p, nid in enumerate(nodes):
+                by_node.setdefault(nid, []).append(p)
+            return [sorted(g) for _, g in sorted(by_node.items())]
+        groups = [sorted(g) for g in node_affinity]
+        flat = sorted(q for g in groups for q in g)
+        if flat != list(range(self.P)):
+            raise ValueError(
+                "node_affinity groups must partition range(num_parts)")
+        return groups
 
     @staticmethod
     def _default_parts() -> int:
@@ -1114,7 +1193,8 @@ class SuperstepEngine:
         ray.get([w.setup.remote(program, params) for w in self.workers])
 
         start_iter = 0
-        prev = None
+        prev = None   # per-receiver incoming bundle-ref lists
+        G = len(self.groups)
         if resume and checkpoint_dir and program.needs_master:
             # program-level master state (e.g. Louvain volumes) is not in
             # the per-partition checkpoint; resuming would run the first
@@ -1128,8 +1208,9 @@ class SuperstepEngine:
                 ray.get([w.load_checkpoint.remote(last, checkpoint_dir)
                          for w in self.workers])
                 start_iter = last + 1
-                prev = [w.reemit.options(num_returns=2).remote()[0]
+                rets = [w.reemit.options(num_returns=G + 1).remote()
                         for w in self.workers]
+                prev = self._prev_lists([list(r[:-1]) for r in rets])
 
         if program.needs_master:
             return self._run_master(program, max_iterations, start_iter, prev,
@@ -1189,10 +1270,11 @@ class SuperstepEngine:
                   if checkpoint_interval and checkpoint_dir and
                   (it % checkpoint_interval == 0 or it == max_iterations - 1)
                   else None)
-            pairs = [w.superstep.options(num_returns=2).remote(it, prev, ck)
-                     for w in self.workers]
-            pending.append((it, [p[1] for p in pairs]))
-            prev = [p[0] for p in pairs]
+            pairs = [w.superstep.options(num_returns=G + 1).remote(
+                it, None if prev is None else prev[p], ck)
+                for p, w in enumerate(self.workers)]
+            pending.append((it, [p[-1] for p in pairs]))
+            prev = self._prev_lists([list(p[:-1]) for p in pairs])
             if len(pending) > LAG:
                 done_it, done_rets = pending.pop(0)
                 if record(done_it, done_rets):
@@ -1227,6 +1309,15 @@ class SuperstepEngine:
             state_refs=state_refs, state_keys=keys, total_wall_sec=total_wall,
         )
 
+    def _prev_lists(self, bundle_refs: list) -> list:
+        """Per-receiver incoming-ref lists from per-sender per-group
+        bundle refs; the default single group shares one list."""
+        if len(self.groups) == 1:
+            shared = [b[0] for b in bundle_refs]
+            return [shared] * self.P
+        return [[b[self.group_of[q]] for b in bundle_refs]
+                for q in range(self.P)]
+
     def _run_master(self, program, max_iterations, start_iter, prev,
                     checkpoint_dir, checkpoint_interval, collect):
         """Barriered loop for programs with a masterCompute step: every
@@ -1238,16 +1329,18 @@ class SuperstepEngine:
         converged = False
         ran = max_iterations
         checkpoint_iters: list[int] = []
+        G = len(self.groups)
         t0 = time.perf_counter()
         for it in range(start_iter, max_iterations):
             ck = (checkpoint_dir
                   if checkpoint_interval and checkpoint_dir and
                   (it % checkpoint_interval == 0 or it == max_iterations - 1)
                   else None)
-            pairs = [w.superstep.options(num_returns=2).remote(
-                it, prev, ck, master_value) for w in self.workers]
-            stats = ray.get([p[1] for p in pairs])
-            prev = [p[0] for p in pairs]
+            pairs = [w.superstep.options(num_returns=G + 1).remote(
+                it, None if prev is None else prev[p], ck, master_value)
+                for p, w in enumerate(self.workers)]
+            stats = ray.get([p[-1] for p in pairs])
+            prev = self._prev_lists([list(p[:-1]) for p in pairs])
             metrics.append({
                 "iteration": it,
                 "wall_sec": max(s["wall_sec"] for s in stats),
