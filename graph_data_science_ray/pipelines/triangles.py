@@ -157,12 +157,14 @@ def _probe_kernel(group: pd.DataFrame, n: int) -> pd.DataFrame:
         ignore_index=True)
 
 
-def _triangle_stats(
+def _wedge_probe_union(
     graph: PartitionedGraph,
-    max_degree: int | None = None,
-    num_buckets: int | None = None,
-) -> tuple[np.ndarray, int, np.ndarray]:
-    """(per_node triangles, global count, simple-graph degree)."""
+    max_degree: int | None,
+    num_buckets: int | None,
+) -> tuple[rd.Dataset, int, np.ndarray, np.ndarray]:
+    """Shared plumbing for counting AND listing: distinct undirected
+    edges → degree-ordered orientation → wedge + probe rows keyed into
+    the same bucket space. Returns (union_ds, n, excluded, deg)."""
     n = graph.n
     distinct = _distinct_edges(graph).materialize()
     deg = _simple_degree(distinct, n)
@@ -211,8 +213,57 @@ def _triangle_stats(
         })
 
     probes = oriented.map_batches(as_probe_side, batch_format="pandas")
-    counts = (wedges.union(probes)
-              .groupby("bucket")
+    return wedges.union(probes), n, excluded, deg
+
+
+def _stream_kernel(group: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Per-bucket probe emitting the TRIANGLES themselves, vid-sorted
+    (node_a < node_b < node_c) — ≙ the reference's TriangleStream
+    (alpha/.../impl/triangle/TriangleStream.java)."""
+    kind = group["kind"].to_numpy()
+    y = group["y"].to_numpy()
+    z = group["z"].to_numpy()
+    is_edge = kind == 1
+    keys = np.sort(y[is_edge] * n + z[is_edge])
+    wy, wz = y[~is_edge], z[~is_edge]
+    wx = group["x"].to_numpy()[~is_edge]
+    e = np.empty(0, np.int64)
+    if len(keys) == 0 or len(wy) == 0:
+        return pd.DataFrame({"node_a": e, "node_b": e, "node_c": e})
+    probe = wy * n + wz
+    pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+    hit = keys[pos] == probe
+    tri = np.sort(np.stack([wx[hit], wy[hit], wz[hit]], axis=1), axis=1)
+    return pd.DataFrame({"node_a": tri[:, 0], "node_b": tri[:, 1],
+                         "node_c": tri[:, 2]})
+
+
+def triangle_stream(
+    graph: PartitionedGraph,
+    max_degree: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-triangle rowset (node_a < node_b < node_c by vid), each
+    triangle exactly once — the same wedge-probe machinery as the
+    counts, with the probe kernel emitting hits instead of folding
+    them; the triangle set streams as a Dataset (never
+    driver-resident)."""
+    union, n, _excluded, _deg = _wedge_probe_union(graph, max_degree,
+                                                   num_buckets)
+    return (union.groupby("bucket")
+            .map_groups(_stream_kernel, batch_format="pandas",
+                        fn_args=(n,)))
+
+
+def _triangle_stats(
+    graph: PartitionedGraph,
+    max_degree: int | None = None,
+    num_buckets: int | None = None,
+) -> tuple[np.ndarray, int, np.ndarray]:
+    """(per_node triangles, global count, simple-graph degree)."""
+    union, n, excluded, deg = _wedge_probe_union(graph, max_degree,
+                                                 num_buckets)
+    counts = (union.groupby("bucket")
               .map_groups(_probe_kernel, batch_format="pandas", fn_args=(n,)))
 
     per_node = np.zeros(n, dtype=np.int64)
