@@ -1039,6 +1039,68 @@ class PartitionWorker:
 # Engine
 # --------------------------------------------------------------------------
 
+class TerminationFlag:
+    """Cooperative cancellation — the engine analogue of the
+    reference's TerminationFlag (polled every 10k nodes inside Java
+    kernels; here polled at every superstep barrier, the natural
+    cancellation point of a BSP engine). ``stop()`` from any thread
+    (or pass ``max_seconds`` for a wall-clock budget); the engine
+    finishes the in-flight supersteps and returns a result flagged
+    ``terminated=True`` with the state as of the last completed
+    iteration."""
+
+    def __init__(self, max_seconds: float | None = None):
+        self._stop = False
+        self._deadline = (time.monotonic() + max_seconds
+                          if max_seconds is not None else None)
+
+    def stop(self) -> None:
+        self._stop = True
+
+    def running(self) -> bool:
+        if self._stop:
+            return False
+        if self._deadline is not None and time.monotonic() > self._deadline:
+            return False
+        return True
+
+
+class ProgressTracker:
+    """Hierarchical task progress (≙ core/.../progress/tasks/
+    ProgressTracker.java): nested named tasks with optional volumes;
+    the engine logs one progress tick per superstep, pipelines wrap
+    phases in subtasks. ``log`` receives (depth, name, done, volume)
+    snapshots; the default keeps them in ``events`` for inspection."""
+
+    def __init__(self, name: str = "run", log=None):
+        self.stack: list[dict] = [
+            {"name": name, "done": 0, "volume": None}]
+        self.events: list[tuple] = []
+        self._log = log
+
+    def begin_subtask(self, name: str, volume: int | None = None) -> None:
+        self.stack.append({"name": name, "done": 0, "volume": volume})
+        self._emit()
+
+    def log_progress(self, amount: int = 1) -> None:
+        self.stack[-1]["done"] += amount
+        self._emit()
+
+    def end_subtask(self) -> None:
+        if len(self.stack) > 1:
+            t = self.stack.pop()
+            self.events.append(
+                (len(self.stack), t["name"], t["done"], t["volume"],
+                 "end"))
+
+    def _emit(self) -> None:
+        t = self.stack[-1]
+        ev = (len(self.stack) - 1, t["name"], t["done"], t["volume"])
+        self.events.append(ev)
+        if self._log is not None:
+            self._log(*ev)
+
+
 @dataclass
 class SuperstepResult:
     ran_iterations: int
@@ -1047,6 +1109,8 @@ class SuperstepResult:
     state_refs: list | None = None
     state_keys: tuple[str, ...] = ()
     total_wall_sec: float = 0.0
+    terminated: bool = False   # stopped by a TerminationFlag, not
+                               # convergence / max_iterations
 
     def to_dataset(self) -> "ray.data.Dataset":
         import ray.data as rd
@@ -1185,6 +1249,8 @@ class SuperstepEngine:
         checkpoint_interval: int = 0,
         resume: bool = False,
         collect: tuple[str, ...] | None = None,
+        termination: TerminationFlag | None = None,
+        tracker: ProgressTracker | None = None,
     ) -> SuperstepResult:
         params = params or {}
         if getattr(program, "msg_dim", None) and program.reducer != SUM:
@@ -1215,7 +1281,7 @@ class SuperstepEngine:
         if program.needs_master:
             return self._run_master(program, max_iterations, start_iter, prev,
                                     checkpoint_dir, checkpoint_interval,
-                                    collect)
+                                    collect, termination, tracker)
 
         LAG = 2  # pipeline depth: convergence checked this many iterations behind
         t0 = time.perf_counter()
@@ -1223,7 +1289,11 @@ class SuperstepEngine:
         metrics: list[dict] = []
         checkpoint_iters: list[int] = []
         converged = False
+        terminated = False
         ran = max_iterations
+        if tracker is not None:
+            tracker.begin_subtask(type(program).__name__,
+                                  volume=max_iterations)
 
         def record(done_it: int, stats_refs: list) -> bool:
             """Collect one iteration's stats; True if converged there."""
@@ -1266,6 +1336,9 @@ class SuperstepEngine:
             return False
 
         for it in range(start_iter, max_iterations):
+            if termination is not None and not termination.running():
+                terminated = True
+                break
             ck = (checkpoint_dir
                   if checkpoint_interval and checkpoint_dir and
                   (it % checkpoint_interval == 0 or it == max_iterations - 1)
@@ -1280,6 +1353,8 @@ class SuperstepEngine:
                 if record(done_it, done_rets):
                     converged, ran = True, done_it
                     break
+                if tracker is not None:
+                    tracker.log_progress()
         # drain in-flight iterations (harmless no-op supersteps when
         # convergence was just detected — no messages remain in flight)
         for done_it, done_rets in pending:
@@ -1287,6 +1362,8 @@ class SuperstepEngine:
                 converged, ran = True, done_it
             elif converged:
                 ray.get(done_rets)
+        if terminated:
+            ran = metrics[-1]["iteration"] if metrics else start_iter
         if converged:
             metrics = [m for m in metrics if m["iteration"] <= ran]
         total_wall = time.perf_counter() - t0
@@ -1299,6 +1376,8 @@ class SuperstepEngine:
             for it in checkpoint_iters:
                 self._write_manifest(it, checkpoint_dir, by_iter.get(it, {}))
 
+        if tracker is not None:
+            tracker.end_subtask()
         keys = collect if collect is not None else program.state_keys
         state_refs = [w.get_state_table.remote(keys) for w in self.workers]
         # Ensure the tables exist before the engine (and its actors) can be
@@ -1307,6 +1386,7 @@ class SuperstepEngine:
         return SuperstepResult(
             ran_iterations=ran, converged=converged, metrics=metrics,
             state_refs=state_refs, state_keys=keys, total_wall_sec=total_wall,
+            terminated=terminated,
         )
 
     def _prev_lists(self, bundle_refs: list) -> list:
@@ -1319,7 +1399,8 @@ class SuperstepEngine:
                 for q in range(self.P)]
 
     def _run_master(self, program, max_iterations, start_iter, prev,
-                    checkpoint_dir, checkpoint_interval, collect):
+                    checkpoint_dir, checkpoint_interval, collect,
+                    termination=None, tracker=None):
         """Barriered loop for programs with a masterCompute step: every
         superstep's partials are combined on the driver and applied on
         all partitions before the next compute (≙ Pregel.masterCompute —
@@ -1327,11 +1408,19 @@ class SuperstepEngine:
         metrics: list[dict] = []
         master_value = None
         converged = False
+        terminated = False
         ran = max_iterations
         checkpoint_iters: list[int] = []
         G = len(self.groups)
+        if tracker is not None:
+            tracker.begin_subtask(type(program).__name__,
+                                  volume=max_iterations)
         t0 = time.perf_counter()
         for it in range(start_iter, max_iterations):
+            if termination is not None and not termination.running():
+                terminated = True
+                ran = it - 1 if it > start_iter else start_iter
+                break
             ck = (checkpoint_dir
                   if checkpoint_interval and checkpoint_dir and
                   (it % checkpoint_interval == 0 or it == max_iterations - 1)
@@ -1350,6 +1439,8 @@ class SuperstepEngine:
             })
             if any(s.get("checkpointed") for s in stats):
                 checkpoint_iters.append(it)
+            if tracker is not None:
+                tracker.log_progress()
             if it > start_iter and all(
                     s.get("master_converged_local", False) for s in stats):
                 converged, ran = True, it
@@ -1364,12 +1455,15 @@ class SuperstepEngine:
             by_iter = {m["iteration"]: m for m in metrics}
             for it in checkpoint_iters:
                 self._write_manifest(it, checkpoint_dir, by_iter.get(it, {}))
+        if tracker is not None:
+            tracker.end_subtask()
         keys = collect if collect is not None else program.state_keys
         state_refs = [w.get_state_table.remote(keys) for w in self.workers]
         ray.wait(state_refs, num_returns=len(state_refs))
         return SuperstepResult(
             ran_iterations=ran, converged=converged, metrics=metrics,
-            state_refs=state_refs, state_keys=keys, total_wall_sec=total_wall)
+            state_refs=state_refs, state_keys=keys, total_wall_sec=total_wall,
+            terminated=terminated)
 
     def _write_manifest(self, it: int, ckpt_dir: str, metric: dict) -> None:
         manifest = {

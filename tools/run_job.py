@@ -63,10 +63,12 @@ def main() -> None:
                                        num_parts=args.num_parts or cpus)
     build_sec = time.perf_counter() - t0
 
-    fits, est = check_fits(args.algorithm, graph.n, graph.num_edges)
+    fits, est = check_fits(args.algorithm, graph.n, graph.num_edges,
+                           num_parts=args.num_parts or 16)
     if not fits:
         print(json.dumps({"error": "memory estimation gate",
-                          "estimate": est}))
+                          "estimate_max_bytes": est.max_bytes,
+                          "estimate": est.render()}))
         sys.exit(2)
 
     engine = SuperstepEngine(graph, num_parts=args.num_parts)
@@ -106,7 +108,7 @@ def main() -> None:
         "iterations": len(res.metrics),
         "converged": res.converged,
         "edges_per_sec": round(edges / max(res.total_wall_sec, 1e-9), 1),
-        "estimate_bytes": est["total_bytes"],
+        "estimate_bytes": est.max_bytes,
         "output": args.output,
     }))
     ray.shutdown()
