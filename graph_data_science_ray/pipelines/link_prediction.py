@@ -67,6 +67,16 @@ def _feature_matrix(t: pa.Table) -> np.ndarray:
     return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
 
 
+@ray.remote(num_cpus=0)
+def _lr_grad_task(tbl: pa.Table, w: np.ndarray) -> np.ndarray:
+    X = _feature_matrix(tbl)
+    y = tbl["label"].to_numpy(zero_copy_only=False).astype(np.float64)
+    z = X @ w[:-1] + w[-1]
+    p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+    err = p - y
+    return np.concatenate([X.T @ err, [err.sum()]])
+
+
 def train_logistic_regression(
     features: rd.Dataset,
     epochs: int = 50,
@@ -74,29 +84,22 @@ def train_logistic_regression(
     l2_penalty: float = 1e-4,
 ) -> np.ndarray:
     """Binary logistic regression via synchronous distributed gradient
-    descent; returns weights [d+1] (bias last)."""
+    descent; returns weights [d+1] (bias last).
+
+    The feature blocks are materialized ONCE as arrow-table refs; each
+    epoch is one round of small tasks over the same plasma blocks with
+    fixed-order partial sums (r4 — replaces the per-epoch Dataset job
+    whose ~0.2 s fixed cost dominated the 50-epoch loop)."""
     first = features.take(1)
     d = len(first[0]["f"])
     w = np.zeros(d + 1)
     n_total = features.count()
-    feats = features.materialize()
+    refs = features.materialize().to_arrow_refs()
+    if not refs:
+        return w
     for _ in range(epochs):
-        wref = ray.put(w)
-
-        def grad(t: pa.Table) -> pa.Table:
-            wl = ray.get(wref)
-            X = _feature_matrix(t)
-            y = t["label"].to_numpy(zero_copy_only=False).astype(np.float64)
-            z = X @ wl[:-1] + wl[-1]
-            p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
-            err = p - y
-            g = np.concatenate([X.T @ err, [err.sum()]])
-            return pa.table({"g": pa.FixedSizeListArray.from_arrays(
-                pa.array(g), len(g))})
-
-        parts = feats.map_batches(grad, batch_format="pyarrow",
-                                  zero_copy_batch=True).to_pandas()
-        gsum = np.sum(np.stack([np.asarray(v) for v in parts["g"]]), axis=0)
+        parts = ray.get([_lr_grad_task.remote(r, w) for r in refs])
+        gsum = np.sum(np.stack(parts), axis=0)
         gsum[:-1] += l2_penalty * w[:-1] * n_total
         w = w - learning_rate * gsum / max(1, n_total)
     return w

@@ -4,18 +4,15 @@ node-property feature steps → node split → multiclass logistic
 regression → accuracy/holdout metrics; models live in the same
 catalog as link prediction).
 
-Ray-Data shape mirrors link_prediction: FastRP features against the
-broadcast matrix, deterministic hash-based node holdout, and
-synchronous distributed softmax-regression gradient descent (per-batch
-[d+1, k] partials summed per epoch)."""
+Ray-Data shape (r4): FastRP features sliced into the shared
+ml_pipeline shard-actor pool (each shard holds its vid-range rows
+across every epoch; one epoch = one round of small RPCs with
+fixed-order partial sums) — no per-epoch Dataset job, no whole-matrix
+broadcast pulled per task."""
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-import pyarrow as pa
-import ray
-import ray.data as rd
 
 from ..stages.superstep import PartitionedGraph
 
@@ -60,52 +57,18 @@ def train_node_classification(
     classes, y_all = np.unique(labels[vids], return_inverse=True)
     k = len(classes)
     test = _hash_u01(vids, seed + 99) < holdout_fraction
-    ds = rd.from_arrow(pa.table({
-        "vid": vids, "y": y_all.astype(np.int64), "test": test}))
-    emb_ref = ray.put(emb)
-
-    d = dim
-    W = np.zeros((d + 1, k))
     n_train = int((~test).sum())
-    for _ in range(epochs):
-        wref = ray.put(W)
-
-        def grad(t: pa.Table) -> pa.Table:
-            Wl = ray.get(wref)
-            E = ray.get(emb_ref)
-            m = ~t["test"].to_numpy(zero_copy_only=False)
-            v = t["vid"].to_numpy(zero_copy_only=False)[m]
-            y = t["y"].to_numpy(zero_copy_only=False)[m]
-            X = E[v]
-            P = _softmax(X @ Wl[:-1] + Wl[-1])
-            P[np.arange(len(y)), y] -= 1.0
-            g = np.vstack([X.T @ P, P.sum(axis=0)])
-            return pa.table({"g": pa.FixedSizeListArray.from_arrays(
-                pa.array(g.reshape(-1)), g.size)})
-
-        parts = ds.map_batches(grad, batch_format="pyarrow",
-                               zero_copy_batch=True).to_pandas()
-        gsum = np.sum(np.stack([np.asarray(v) for v in parts["g"]]),
-                      axis=0).reshape(d + 1, k)
-        gsum[:-1] += l2_penalty * W[:-1] * n_train
-        W = W - learning_rate * gsum / max(1, n_train)
-
-    # held-out accuracy, distributed
-    wref = ray.put(W)
-
-    def score(t: pa.Table) -> pa.Table:
-        Wl = ray.get(wref)
-        E = ray.get(emb_ref)
-        m = t["test"].to_numpy(zero_copy_only=False)
-        v = t["vid"].to_numpy(zero_copy_only=False)[m]
-        y = t["y"].to_numpy(zero_copy_only=False)[m]
-        pred = np.argmax(E[v] @ Wl[:-1] + Wl[-1], axis=1)
-        return pa.table({"correct": [int((pred == y).sum())],
-                         "total": [int(len(y))]})
-
-    s = ds.map_batches(score, batch_format="pyarrow",
-                       zero_copy_batch=True).to_pandas()
-    total = int(s["total"].sum())
-    acc = float(s["correct"].sum()) / total if total else 0.0
-    return {"weights": W, "classes": classes.tolist(),
+    grp = np.where(test, -1, 0).astype(np.int64)
+    from .ml_pipeline import _nc_accuracy, _nc_fit, _NCShardPool
+    pool = _NCShardPool(vids, y_all.astype(np.int64), grp, emb[vids])
+    try:
+        model = _nc_fit(pool, dim, k, "logisticRegression",
+                        {"epochs": epochs,
+                         "learning_rate": learning_rate,
+                         "l2_penalty": l2_penalty},
+                        -1, n_train, seed)
+        acc = _nc_accuracy(pool, model, -1)
+    finally:
+        pool.shutdown()
+    return {"weights": model["weights"], "classes": classes.tolist(),
             "test_accuracy": acc, "dim": dim}
