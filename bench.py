@@ -28,7 +28,8 @@ import time
 BENCH_DIR = "/tmp/graft_bench"
 SKIP_QUERIES = {"triangle_count", "triangle_stream", "local_clustering",
                 "co_supply_edges",
-                "node_similarity", "louvain",  # superlinear on the
+                "node_similarity", "node_similarity_cosine",
+                "node_similarity_bottomk", "louvain",  # superlinear on the
                 "label_propagation",  # near-complete sf0.1 co-supply graph
                 "influence_max",  # CELF round-1 sweep is O(V · cascade)
                                   # — minutes on the dense sf0.1 graph;
