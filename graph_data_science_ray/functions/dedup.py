@@ -540,6 +540,69 @@ def verify_jaccard(pairs: pd.DataFrame, texts: dict[int, str],
     return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
 
 
+def exact_shingle_clusters(docs: rd.Dataset, shingle_k: int = 5,
+                           num_buckets: int = 32) -> rd.Dataset:
+    """Threshold-1.0 fast path: Jaccard 1.0 ⟺ distinct-shingle-SET
+    equality — an EQUIVALENCE relation, so clusters are the groups of
+    an exact grouping and no LSH machinery is needed. One shingle pass
+    per document computes a 128-bit fold of the sorted shingle-hash
+    set; digest groups (hash-bucketed, never a high-cardinality native
+    groupby) yield star pairs to the group minimum, which the existing
+    exact-Jaccard text join then VERIFIES (only would-be duplicates
+    ever reach it, so a digest collision can exclude a pair but never
+    admit a wrong one — the path stays exact)."""
+
+    def digests(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hi = np.empty(len(ids), dtype=np.uint64)
+        lo = np.empty(len(ids), dtype=np.uint64)
+        B1 = np.uint64(1099511628211)
+        B2 = np.uint64(0x9E3779B97F4A7C15)
+        for i, text in enumerate(t["text"].to_pylist()):
+            sh = _shingle_hashes(text, shingle_k)   # sorted distinct
+            # two independent vectorized folds over the sorted set,
+            # position-weighted; exactness comes from the verify join,
+            # not the digest
+            idx = np.arange(1, len(sh) + 1, dtype=np.uint64)
+            hi[i] = (np.uint64(len(sh)) * B1
+                     + (sh * idx).sum(dtype=np.uint64)
+                     ) ^ np.uint64(0xcbf29ce484222325)
+            lo[i] = ((sh ^ B2) * (idx * B1)).sum(dtype=np.uint64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "hi": pa.array(hi.view(np.int64)),
+            "lo": pa.array(lo.view(np.int64)),
+        })
+
+    sigs = docs.map_batches(digests, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_hash(df, ["hi", "lo"], num_buckets)
+        return df
+
+    def star_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        hi = group["hi"].to_numpy()
+        lo = group["lo"].to_numpy()
+        ids = group["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, lo, hi))
+        hi, lo, ids = hi[order], lo[order], ids[order]
+        new = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+        grp = np.cumsum(new) - 1
+        firsts = ids[new]          # min doc per digest group (ids asc)
+        rep = firsts[grp]
+        m = rep != ids             # non-representative members
+        return pd.DataFrame({"a": rep[m], "b": ids[m]})
+
+    pairs = (sigs.map_batches(add_bucket, batch_format="pandas")
+             .groupby("__bucket")
+             .map_groups(star_pairs, batch_format="pandas"))
+    verified = verify_jaccard_join(pairs, docs, "doc_id", "text",
+                                   shingle_k, 1.0)
+    return cluster_assignments_ds(docs, verified)
+
+
 def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8,
                   num_perm: int = 64, bands: int | None = None,
                   shingle_k: int = 5) -> rd.Dataset:
@@ -552,6 +615,10 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8,
     threshold: (8 bands × r=8) for high thresholds (LSH s₅₀ ≈ 0.77 —
     far fewer false candidates to verify) vs (16 × 4) below 0.75
     (s₅₀ ≈ 0.5 — recall for looser duplicates)."""
+    if threshold >= 1.0:
+        # Jaccard 1.0 is an equivalence relation — exact digest
+        # grouping replaces the whole LSH candidate machinery
+        return exact_shingle_clusters(docs, shingle_k)
     if bands is None:
         bands = 8 if threshold >= 0.75 else 16
     # global distinct before the verification join: cross-band duplicate
