@@ -113,6 +113,9 @@ def _pair_ids(pairs: rd.Dataset) -> np.ndarray:
             else np.empty(0, np.int64))
 
 
+_VERIFY_BROADCAST_MAX_IDS = 10_000
+
+
 def verify_jaccard_join(pairs: rd.Dataset, docs: rd.Dataset,
                         id_col: str = "doc_id", text_col: str = "text",
                         shingle_k: int = 5, threshold: float = 0.8,
@@ -121,8 +124,23 @@ def verify_jaccard_join(pairs: rd.Dataset, docs: rd.Dataset,
     pipeline: candidate texts are attached to the pairs by TWO
     hash-bucketed joins (a-side, then b-side) — no driver text dict, no
     corpus-fraction broadcast. Shuffle volume = candidate texts × 2 +
-    the pair table."""
+    the pair table.
+
+    Small candidate sets (≤ _VERIFY_BROADCAST_MAX_IDS distinct ids —
+    an explicit bounded gate, not a silent cap) skip the two sort
+    shuffles and verify against a ray.put text map instead: the
+    classic broadcast join for a small side, bounded by the gate
+    constant, never O(corpus)."""
     cand_ids = _pair_ids(pairs)
+    if len(cand_ids) <= _VERIFY_BROADCAST_MAX_IDS:
+        texts: dict = {}
+        if len(cand_ids):
+            cdf = _candidate_docs_ds(docs, cand_ids, id_col,
+                                     text_col).to_pandas()
+            if id_col in cdf.columns:
+                texts = dict(zip(cdf[id_col].to_numpy(np.int64),
+                                 cdf[text_col]))
+        return verify_jaccard_ds(pairs, texts, shingle_k, threshold)
     cdocs = _candidate_docs_ds(docs, cand_ids, id_col, text_col)
 
     def _join_side(pair_rows: rd.Dataset, key: str, out_col: str,
