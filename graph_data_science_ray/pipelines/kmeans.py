@@ -1,11 +1,13 @@
 """K-Means — parity with gds.kmeans (kmeans/Kmeans.java): Lloyd
 iterations over per-node property vectors.
 
-Ray shape: centroids broadcast via ray.put; assignment + per-cluster
-partial sums are one vectorized map_batches pass per iteration; the
-driver combines partials (k×dim — tiny) into new centroids. Seeded
-initial centroids come from the first k rows in id order (deterministic,
-matching the reference's seeded sampling intent)."""
+Ray shape (r4): the table's blocks are materialized ONCE as
+arrow-table refs; each Lloyd iteration is one round of small tasks
+over the same plasma blocks (centroids ride inline — k×dim, tiny) and
+the driver combines the per-block partial sums in fixed block order —
+no per-iteration Dataset job. Seeded initial centroids come from the
+first k rows in id order (deterministic, matching the reference's
+seeded sampling intent)."""
 
 from __future__ import annotations
 
@@ -16,6 +18,22 @@ import ray
 import ray.data as rd
 
 from ..functions.ann import _batch_matrix
+
+
+@ray.remote
+def _lloyd_partials(tbl: pa.Table, centroids: np.ndarray,
+                    vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """One block's (per-cluster vector sums, counts) for one Lloyd
+    iteration — same kernel the Dataset pass ran, now over a stable
+    plasma block so iterations pay task-dispatch, not Dataset-job,
+    fixed costs."""
+    m = _batch_matrix(tbl, vec_col)
+    d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    sums = np.zeros_like(centroids)
+    np.add.at(sums, assign, m)
+    counts = np.bincount(assign, minlength=len(centroids))
+    return sums, counts.astype(np.int64)
 
 
 def kmeans(
@@ -36,6 +54,7 @@ def kmeans(
         take = np.argsort(ids, kind="stable")[:k]
         return t.take(pa.array(take))
 
+    ds = ds.materialize()
     first = (ds.map_batches(min_k, batch_format="pyarrow",
                             zero_copy_batch=True)
              .to_pandas()
@@ -43,32 +62,16 @@ def kmeans(
              .head(k))
     centroids = np.array([np.asarray(v, dtype=np.float64)
                           for v in first[vec_col]])
+    refs = ds.to_arrow_refs()
     ran = 0
     for it in range(max_iterations):
-        cref = ray.put(centroids)
-
-        def partials(t: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            m = _batch_matrix(t, vec_col)
-            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, m)
-            counts = np.bincount(assign, minlength=len(c))
-            return pa.table({
-                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
-                "vsum": pa.array(sums.tolist(),
-                                 type=pa.list_(pa.float64())),
-                "count": pa.array(counts.astype(np.int64)),
-            })
-
-        parts = ds.map_batches(partials, batch_format="pyarrow",
-                               zero_copy_batch=True).to_pandas()
+        parts = ray.get([_lloyd_partials.remote(r, centroids, vec_col)
+                         for r in refs])
         sums = np.zeros_like(centroids)
         counts = np.zeros(k, dtype=np.int64)
-        for row in parts.itertuples():
-            sums[row.cluster] += np.asarray(row.vsum)
-            counts[row.cluster] += row.count
+        for s, c in parts:            # fixed block order
+            sums += s
+            counts += c
         new_centroids = np.where(counts[:, None] > 0,
                                  sums / np.maximum(counts[:, None], 1),
                                  centroids)
