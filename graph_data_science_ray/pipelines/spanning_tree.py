@@ -2,22 +2,28 @@
 (alpha/.../spanningtree/Prim.java semantics: undirected weighted MST;
 minimum by default, tie-break toward smaller endpoint ids).
 
-Distributed formulation: BORŮVKA rounds over the edge Dataset (the
+Distributed formulation: BORŮVKA rounds over plasma edge blocks (the
 textbook distributed MST — Prim's frontier heap is inherently
 sequential, but both produce a minimum spanning forest; with distinct
 weights the edge sets are identical, with ties Borůvka's lexicographic
 (w, u, v) rule makes the output deterministic):
 
   repeat O(log V) times:
-    1. map_batches: relabel edge endpoints by current component
-       (broadcast label array), drop internal edges;
-    2. per-component minimum outgoing edge via compact per-batch
-       partials + hash-bucketed min-combine;
-    3. driver union-find over the ≤ #components chosen edges (tiny).
+    1. one task per edge block: relabel endpoints by current component
+       (broadcast label array), drop internal edges (the shrunken
+       block is the task's plasma return — next round reads it, no
+       Dataset job), emit the per-block minimum (w, u, v) candidate
+       per component;
+    2. tree-combine the per-block partials in tasks (min is
+       order-independent under the (w, u, v) total order) so the
+       driver receives ≤ #components rows;
+    3. driver union-find over the chosen edges (tiny).
 
 Each round at least halves the component count. Only the label array
 (O(V)) and the per-round chosen edges (≤ #components) are
-driver-resident."""
+driver-resident; rounds pay task dispatch, not Dataset-job fixed
+costs (r4 — the per-round map_batches+groupby pipeline spent ~1 s of
+fixed cost per round at query scale)."""
 
 from __future__ import annotations
 
@@ -33,6 +39,56 @@ from ..stages.superstep import PartitionedGraph
 # run Borůvka on the same cached graph; recomputing it is pure waste.
 _MST_CACHE: dict = {}
 
+_COMBINE_FANIN = 8
+
+
+def _min_per_comp(comp, cw, cu, cv):
+    order = np.lexsort((cv, cu, cw, comp))
+    comp, cu, cv, cw = comp[order], cu[order], cv[order], cw[order]
+    first = np.r_[True, comp[1:] != comp[:-1]] if len(comp) else \
+        np.empty(0, bool)
+    return comp[first], cw[first], cu[first], cv[first]
+
+
+@ray.remote(num_returns=2)
+def _boruvka_block(tbl: pa.Table, labels: np.ndarray):
+    """(shrunken external-edge block, per-component min candidates)
+    for one round — the block return stays in plasma for the next
+    round."""
+    src = tbl["src"].to_numpy(zero_copy_only=False)
+    dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    w = tbl["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ls, ld = labels[src], labels[dst]
+    ext = ls != ld
+    src, dst, w = src[ext], dst[ext], w[ext]
+    ls, ld = ls[ext], ld[ext]
+    block = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                      "weight": pa.array(w)})
+    # each edge is a candidate for BOTH endpoint components;
+    # keep the per-block minimum (w, u, v) per component
+    comp = np.concatenate([ls, ld])
+    cu = np.concatenate([np.minimum(src, dst)] * 2)
+    cv = np.concatenate([np.maximum(src, dst)] * 2)
+    cw = np.concatenate([w, w])
+    comp, cw, cu, cv = _min_per_comp(comp, cw, cu, cv)
+    part = pa.table({"comp": pa.array(comp), "w": pa.array(cw),
+                     "u": pa.array(cu), "v": pa.array(cv)})
+    return block, part
+
+
+@ray.remote
+def _min_combine(*parts: pa.Table) -> pa.Table:
+    """Tree-reduce stage: min (w, u, v) per component across partial
+    tables (order-independent under the total order)."""
+    t = pa.concat_tables(parts)
+    comp, cw, cu, cv = _min_per_comp(
+        t["comp"].to_numpy(zero_copy_only=False),
+        t["w"].to_numpy(zero_copy_only=False),
+        t["u"].to_numpy(zero_copy_only=False),
+        t["v"].to_numpy(zero_copy_only=False))
+    return pa.table({"comp": pa.array(comp), "w": pa.array(cw),
+                     "u": pa.array(cu), "v": pa.array(cv)})
+
 
 def spanning_tree(graph: PartitionedGraph,
                   max_rounds: int = 64) -> pd.DataFrame:
@@ -44,62 +100,24 @@ def spanning_tree(graph: PartitionedGraph,
     n = graph.n
     labels = np.arange(n, dtype=np.int64)
     chosen_s, chosen_d, chosen_w = [], [], []
-    # Materialize the external-edge set once, then shrink it each round
-    # (internal edges can never re-become external) — avoids re-reading
-    # the full edge parquet every Borůvka round (O(rounds·E) I/O).
-    edges = graph.edges_dataset(("src", "dst", "weight"),
-                                flow="out").materialize()
+    # Materialize the edge blocks once; each round's tasks return the
+    # shrunken blocks (internal edges can never re-become external).
+    block_refs = graph.edges_dataset(
+        ("src", "dst", "weight"), flow="out").materialize() \
+        .to_arrow_refs()
 
     for _ in range(max_rounds):
         labels_ref = ray.put(labels)
-
-        def keep_external(t: pa.Table) -> pa.Table:
-            lab = ray.get(labels_ref)
-            src = t["src"].to_numpy(zero_copy_only=False)
-            dst = t["dst"].to_numpy(zero_copy_only=False)
-            ext = lab[src] != lab[dst]
-            return t.filter(pa.array(ext))
-
-        edges = edges.map_batches(keep_external, batch_format="pyarrow",
-                                  zero_copy_batch=True).materialize()
-        if edges.count() == 0:
-            break
-
-        def partial(t: pa.Table) -> pa.Table:
-            lab = ray.get(labels_ref)
-            src = t["src"].to_numpy(zero_copy_only=False)
-            dst = t["dst"].to_numpy(zero_copy_only=False)
-            w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
-            ls, ld = lab[src], lab[dst]
-            # each edge is a candidate for BOTH endpoint components;
-            # keep the per-batch minimum (w, u, v) per component
-            comp = np.concatenate([ls, ld])
-            cu = np.concatenate([np.minimum(src, dst)] * 2)
-            cv = np.concatenate([np.maximum(src, dst)] * 2)
-            cw = np.concatenate([w, w])
-            order = np.lexsort((cv, cu, cw, comp))
-            comp, cu, cv, cw = comp[order], cu[order], cv[order], cw[order]
-            first = np.r_[True, comp[1:] != comp[:-1]]
-            return pa.table({"comp": comp[first], "w": cw[first],
-                             "u": cu[first], "v": cv[first]})
-
-        partials = edges.map_batches(partial, batch_format="pyarrow",
-                                     zero_copy_batch=True)
-
-        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__bucket"] = df["comp"].to_numpy() % 32
-            return df
-
-        def min_kernel(group: pd.DataFrame) -> pd.DataFrame:
-            g = group.sort_values(["comp", "w", "u", "v"])
-            return g.drop_duplicates("comp", keep="first")[
-                ["comp", "w", "u", "v"]]
-
-        best = (partials.map_batches(add_bucket, batch_format="pandas")
-                .groupby("__bucket")
-                .map_groups(min_kernel, batch_format="pandas")
-                .to_pandas())
+        outs = [_boruvka_block.remote(r, labels_ref)
+                for r in block_refs]
+        block_refs = [o[0] for o in outs]
+        part_refs = [o[1] for o in outs]
+        while len(part_refs) > 1:
+            part_refs = [
+                _min_combine.remote(*part_refs[i:i + _COMBINE_FANIN])
+                for i in range(0, len(part_refs), _COMBINE_FANIN)]
+        best = ray.get(part_refs[0]).to_pandas() if part_refs else \
+            pd.DataFrame()
         if best.empty:
             break
         u = best["u"].to_numpy(np.int64)
