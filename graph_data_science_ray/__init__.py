@@ -41,6 +41,17 @@ def __getattr__(name):
         "build_graph_from_repos": (
             "graph_data_science_ray.pipelines.graph_pipeline",
             "build_graph_from_repos"),
+        "triangle_stream": ("graph_data_science_ray.pipelines.triangles",
+                            "triangle_stream"),
+        "node_similarity": (
+            "graph_data_science_ray.pipelines.similarity_graph",
+            "node_similarity"),
+        "TerminationFlag": ("graph_data_science_ray.stages.superstep",
+                            "TerminationFlag"),
+        "ProgressTracker": ("graph_data_science_ray.stages.superstep",
+                            "ProgressTracker"),
+        "estimate": ("graph_data_science_ray.estimation", "estimate"),
+        "check_fits": ("graph_data_science_ray.estimation", "check_fits"),
     }
     if name in surface:
         import importlib
