@@ -40,16 +40,22 @@ def _topk_by_score_then_id(scores: np.ndarray, ids: np.ndarray, k: int):
     """Per-row top-k of a [Q, B] score matrix with a DETERMINISTIC
     tie-break (score desc, id asc) — plain argpartition can drop the
     smaller id at an exact tie on the k-boundary, making the partial
-    top-k depend on block layout.  Columns are pre-sorted by id asc so
-    a stable argsort on -score resolves ties to the smaller id.
-    Returns (q_idx, col_idx) flat index arrays of length Q*k into the
-    REORDERED column space plus the reordered ids/scores."""
+    top-k depend on block layout.  Linear-time selection (no full row
+    argsort): columns are pre-sorted by id asc, the k-th score comes
+    from np.partition, rows strictly above it are taken outright, and
+    boundary ties fill the remainder in column (= id) order via a
+    cumulative count.  Returns (q_idx, col_idx) flat index arrays of
+    length Q*k into the REORDERED column space plus the reordered
+    ids/scores."""
     id_order = np.argsort(ids, kind="stable")
     ids_s = ids[id_order]
     scores_s = scores[:, id_order]
-    top = np.argsort(-scores_s, axis=1, kind="stable")[:, :k]
-    q_idx = np.repeat(np.arange(scores.shape[0]), k)
-    col_idx = top.ravel()
+    kth = -np.partition(-scores_s, k - 1, axis=1)[:, k - 1]  # [Q]
+    gt = scores_s > kth[:, None]
+    need = k - gt.sum(axis=1)                                # ≥ 1
+    tie = scores_s == kth[:, None]
+    take_tie = tie & (np.cumsum(tie, axis=1) <= need[:, None])
+    q_idx, col_idx = np.nonzero(gt | take_tie)
     return q_idx, col_idx, ids_s, scores_s
 
 

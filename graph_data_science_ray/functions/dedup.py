@@ -520,6 +520,9 @@ def verify_jaccard_ds(pairs: rd.Dataset, texts: dict[int, str],
 
         keep_a, keep_b, sims = [], [], []
         for a, b in zip(df["a"].to_numpy(), df["b"].to_numpy()):
+            if int(a) not in tx or int(b) not in tx:
+                continue   # id absent from docs — the join path drops
+                           # such pairs too (parity)
             sa, sb = sh(int(a)), sh(int(b))
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter

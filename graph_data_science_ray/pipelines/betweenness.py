@@ -146,10 +146,11 @@ def _delta_rowsum(tbl, batch: np.ndarray):
     lane zeroed (≙ betweenness's source exclusion)."""
     delta = _pa_to_np(tbl["delta"])
     vid = tbl["vid"].to_numpy(zero_copy_only=False)
+    if len(vid) == 0:       # partition owning zero vertices (n < P)
+        return vid, np.zeros(0)
     pos = np.searchsorted(vid, batch)
-    ok = (pos < len(vid))
-    safe = np.minimum(pos, max(0, len(vid) - 1))
-    hit = ok & (len(vid) > 0) & (vid[safe] == batch)
+    safe = np.minimum(pos, len(vid) - 1)
+    hit = (pos < len(vid)) & (vid[safe] == batch)
     delta[safe[hit], np.flatnonzero(hit)] = 0.0
     return vid, delta.sum(axis=1)
 

@@ -292,25 +292,35 @@ def train_random_forest(
             fitted.sort_values("tree")["blob"].to_numpy()]
 
 
-@ray.remote
+# num_cpus=0: the _NCShard pool may hold (cpus-1) fractional CPU
+# reservations for the whole fit while its actors sit idle during tree
+# training — default 1-CPU tree tasks would serialize behind them.
+# Concurrency is bounded by the tree count (~10), not the corpus.
+@ray.remote(num_cpus=0)
 def _fit_tree_task(tree_id: int, num_classes: int, max_depth: int,
                    min_split: int, feature_frac: float,
                    sample_frac: float, seed: int, *tables) -> bytes:
-    """One tree's bootstrap + CART fit over the shard tables (plasma
-    zero-copy reads; the hash-sample keeps trees × sample_frac of the
-    rows in memory per task, bounded like the reference's
-    numberOfSamplesRatio)."""
-    t = pa.concat_tables(tables)
+    """One tree's bootstrap + CART fit over the shard tables. The
+    hash-sample filters EACH shard table (Arrow-level) before any
+    feature-matrix materialization, so a task holds only its
+    sample_frac of the rows — never the whole training matrix."""
+    sampled = []
+    for t in tables:
+        row = t["row"].to_numpy(zero_copy_only=False)
+        keep = _hash_keep(row, tree_id, seed, sample_frac)
+        if keep.any():
+            sampled.append(t.filter(pa.array(keep)))
+    if not sampled:
+        sampled = [tables[0].slice(0, 0)]
+    t = pa.concat_tables(sampled)
     col = t["f"]
     if hasattr(col, "combine_chunks"):
         col = col.combine_chunks()
     d = col.type.list_size
     X = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
     y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    row = t["row"].to_numpy(zero_copy_only=False)
-    keep = _hash_keep(row, tree_id, seed, sample_frac)
     rng = np.random.default_rng(seed * 7919 + tree_id)
-    tree = _fit_tree(np.ascontiguousarray(X[keep]), y[keep], num_classes,
+    tree = _fit_tree(np.ascontiguousarray(X), y, num_classes,
                      max_depth, min_split, feature_frac, rng)
     return pickle.dumps(tree)
 

@@ -164,6 +164,10 @@ def node_similarity(
     bottomK config); set top_k=None when using it."""
     if metric not in ("jaccard", "overlap", "cosine"):
         raise ValueError(f"unknown metric {metric!r}")
+    if bottom_k is not None and top_k is not None:
+        # top_k defaults to 10 — silently returning top-K when the
+        # caller asked for bottom-K would be the opposite result
+        raise ValueError("bottom_k requires top_k=None")
     weighted = metric == "cosine" and graph.weighted
     deg = _distinct_out_degree(graph)
     eligible = deg >= degree_cutoff

@@ -116,6 +116,14 @@ def test_node_similarity_cosine_weighted(ray_session):
         assert abs(got_pairs[k] - v) < 1e-12
 
 
+def test_node_similarity_bottomk_requires_topk_none(ray_session):
+    import pytest as _pytest
+    src, dst, _ = random_graph(20, 60, seed=1)
+    g = PartitionedGraph.from_arrays(20, src, dst)
+    with _pytest.raises(ValueError):
+        node_similarity(g, bottom_k=2)   # top_k left at its default
+
+
 def test_node_similarity_bottomk(ray_session):
     src, dst, _ = random_graph(60, 400, seed=4)
     g = PartitionedGraph.from_arrays(60, src, dst)

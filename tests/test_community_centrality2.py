@@ -77,6 +77,16 @@ def test_betweenness_multi_batch(ray_session):
                        brandes_oracle(50, src, dst), atol=1e-9)
 
 
+def test_betweenness_more_parts_than_vertices(ray_session):
+    """Partitions owning zero vertices (n < P) must not crash the
+    per-partition delta reduce (r4 review finding)."""
+    src, dst = _simple_graph(5, 18, seed=3)
+    g = PartitionedGraph.from_arrays(5, src, dst)
+    got = betweenness(g, num_parts=8)
+    assert np.allclose(got["score"].to_numpy(),
+                       brandes_oracle(5, src, dst), atol=1e-9)
+
+
 def test_betweenness_sampled_subset(ray_session):
     src, dst = _simple_graph(40, 160, seed=11)
     g = PartitionedGraph.from_arrays(40, src, dst)
