@@ -14,11 +14,12 @@ Ray-Data shape:
     actors that hold their rows across every fold / candidate / epoch
     (one epoch = one round of small RPCs with fixed-order partial
     sums — no per-epoch Dataset job, no whole-matrix broadcast);
-  - random-forest training replicates each feature row to the trees
-    that sample it (deterministic hash subsampling ≙ bootstrap) inside
-    ONE map_batches pass, then trains every tree independently in a
-    groupby(tree).map_groups — T small in-memory CART fits running in
-    parallel, no driver-side training data;
+  - random-forest training bootstraps ON the shards (rf_sample:
+    deterministic hash subsampling ≙ bootstrap) and fits one Ray task
+    per tree over its sampled slices — trees × sample_frac × corpus
+    total traffic, no driver-side training data; the Dataset variant
+    (train_random_forest: replicate-to-trees map_batches +
+    groupby(tree).map_groups) stays for streaming feature pipelines;
   - prediction broadcasts the (tiny) forest and traverses all trees
     vectorized per batch.
 
@@ -299,20 +300,11 @@ def train_random_forest(
 @ray.remote(num_cpus=0)
 def _fit_tree_task(tree_id: int, num_classes: int, max_depth: int,
                    min_split: int, feature_frac: float,
-                   sample_frac: float, seed: int, *tables) -> bytes:
-    """One tree's bootstrap + CART fit over the shard tables. The
-    hash-sample filters EACH shard table (Arrow-level) before any
-    feature-matrix materialization, so a task holds only its
-    sample_frac of the rows — never the whole training matrix."""
-    sampled = []
-    for t in tables:
-        row = t["row"].to_numpy(zero_copy_only=False)
-        keep = _hash_keep(row, tree_id, seed, sample_frac)
-        if keep.any():
-            sampled.append(t.filter(pa.array(keep)))
-    if not sampled:
-        sampled = [tables[0].slice(0, 0)]
-    t = pa.concat_tables(sampled)
+                   seed: int, *tables) -> bytes:
+    """One tree's CART fit over its pre-sampled shard slices
+    (bootstrap ran shard-side — rf_sample — so a task receives and
+    holds only its sample_frac of the rows)."""
+    t = pa.concat_tables(tables)
     col = t["f"]
     if hasattr(col, "combine_chunks"):
         col = col.combine_chunks()
@@ -325,8 +317,9 @@ def _fit_tree_task(tree_id: int, num_classes: int, max_depth: int,
     return pickle.dumps(tree)
 
 
-def train_random_forest_from_refs(
-    table_refs: list,
+def train_random_forest_sharded(
+    pool: "_NCShardPool",
+    val_fold: int,
     num_classes: int,
     trees: int = 10,
     max_depth: int = 8,
@@ -335,14 +328,17 @@ def train_random_forest_from_refs(
     sample_frac: float = 0.7,
     seed: int = 42,
 ) -> list[dict]:
-    """Forest training over already-materialized (f, y, row) shard
-    table refs: one Ray task per tree, no replicate-rows pass and no
-    groupby shuffle (the Dataset variant below keeps that shape for
-    streaming feature pipelines)."""
+    """Forest training over the shard-actor pool: the bootstrap sample
+    runs ON each shard (rf_sample), so per tree only sample_frac of
+    the rows ship to its fit task — trees × sample_frac × corpus
+    total traffic, no replicate-rows pass and no groupby shuffle (the
+    Dataset variant below keeps that shape for streaming feature
+    pipelines)."""
     blobs = ray.get([
-        _fit_tree_task.remote(t, num_classes, max_depth, min_split,
-                              feature_frac, sample_frac, seed,
-                              *table_refs)
+        _fit_tree_task.remote(
+            t, num_classes, max_depth, min_split, feature_frac, seed,
+            *[s.rf_sample.remote(val_fold, t, sample_frac, seed)
+              for s in pool.shards])
         for t in range(trees)])
     return [pickle.loads(b) for b in blobs]
 
@@ -447,15 +443,20 @@ class _NCShard:
         return np.concatenate([(X.T @ dZ).ravel(), dZ.sum(axis=0),
                                (Z.T @ P).ravel(), P.sum(axis=0)])
 
-    def rf_table(self, val_fold: int) -> pa.Table:
-        """(f, y, row) rows for forest training — row = global vid, the
-        deterministic per-tree sampling key."""
+    def rf_sample(self, val_fold: int, tree_id: int, sample_frac: float,
+                  seed: int) -> pa.Table:
+        """One tree's bootstrap slice of THIS shard — the hash-sample
+        runs where the rows live, so only sample_frac of the data ever
+        ships to the tree task (same rows, same order as filtering the
+        full table — bit-identical trees)."""
         m = self._train_mask(val_fold)
-        X = self.F[m]
+        vid = self.vid[m]
+        keep = _hash_keep(vid, tree_id, seed, sample_frac)
+        X = self.F[m][keep]
         return pa.table({
             "f": pa.FixedSizeListArray.from_arrays(
                 pa.array(X.reshape(-1)), X.shape[1]),
-            "y": self.y[m], "row": self.vid[m]})
+            "y": self.y[m][keep], "row": vid[keep]})
 
     def score(self, model: dict, eval_grp: int) -> tuple[int, int]:
         m = self.grp == eval_grp
@@ -508,9 +509,8 @@ def _nc_fit(pool: _NCShardPool, d: int, k: int, method: str,
     the test set).  Gradients are per-shard partials summed in fixed
     shard order on the driver; only the model is driver-resident."""
     if method == "randomForest":
-        forest = train_random_forest_from_refs(
-            [s.rf_table.remote(val_fold) for s in pool.shards],
-            k, seed=seed, **cfg)
+        forest = train_random_forest_sharded(pool, val_fold, k,
+                                             seed=seed, **cfg)
         return {"forest": forest}
     if method == "mlp":
         # EXTENSION beyond the pinned reference snapshot: the
