@@ -25,7 +25,8 @@ def _community_edge_partials(graph: PartitionedGraph,
     """Σ per community over the one-direction edge table: vol (both
     endpoints' weight), internal weight, cut weight. Symmetric
     (undirected) interpretation: each edge counts once."""
-    labels_ref = ray.put(np.asarray(labels, dtype=np.int64))
+    labels_ref = (labels if isinstance(labels, ray.ObjectRef)
+                  else ray.put(np.asarray(labels, dtype=np.int64)))
     cols = ("src", "dst", "weight") if graph.weighted else ("src", "dst")
     edges = graph.edges_dataset(cols, flow="out")
 

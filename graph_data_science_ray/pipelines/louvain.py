@@ -219,12 +219,13 @@ class ModularityOptimizationProgram(LouvainLocalMoveProgram):
     seedProperty). Converges when a full color sweep moves nothing
     (the reference's tolerance=0 behavior) or after max_sweeps."""
 
-    def __init__(self, n: int, two_m: float, colors: np.ndarray,
+    def __init__(self, n: int, two_m: float, colors: np.ndarray | None,
                  num_colors: int, seeds: np.ndarray | None = None,
-                 max_sweeps: int = 10):
+                 max_sweeps: int = 10, color_refs: list | None = None):
         super().__init__(n, two_m, waves=1, max_sweeps=max_sweeps)
         self.waves = max(1, int(num_colors))
         self.colors = colors
+        self.color_refs = color_refs
         self.seeds = seeds
 
     def init_state(self, ctx) -> dict[str, np.ndarray]:
@@ -233,7 +234,22 @@ class ModularityOptimizationProgram(LouvainLocalMoveProgram):
         if self.seeds is not None:
             st["label"] = np.asarray(self.seeds,
                                      dtype=np.int64)[gids].copy()
-        st["color"] = np.asarray(self.colors, dtype=np.int64)[gids]
+        if self.color_refs is not None:
+            # K1 colors arrive as the coloring engine's per-partition
+            # state tables (local vertex order, same deterministic
+            # vid→partition layout) — never an O(V) driver array
+            t = ray.get(self.color_refs[ctx.part])
+            color = t["color"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(color) != ctx.n_local:
+                raise ValueError(
+                    f"color refs misaligned: partition {ctx.part} has "
+                    f"{len(color)} colors for {ctx.n_local} local "
+                    "vertices (coloring must run at the same partition "
+                    "count)")
+            st["color"] = color
+        else:
+            st["color"] = np.asarray(self.colors, dtype=np.int64)[gids]
         return st
 
     def compute(self, ctx, state, msgs, has_msg, active, iteration):
@@ -270,14 +286,22 @@ def modularity_optimization(
     {"modularity", "ran_sweeps", "num_colors"}). colors overrides the
     K1 schedule (tests / precomputed colorings)."""
     from ..stages.superstep import SuperstepEngine
-    from .coloring import k1_coloring
+    from .coloring import _max_color, k1_coloring
     from .community_metrics import modularity_by_community
     n = graph.n
+    color_refs = None
     if colors is None:
-        cdf = k1_coloring(graph, num_parts=num_parts).to_pandas()
-        colors = np.zeros(n, dtype=np.int64)
-        colors[cdf["vid"].to_numpy()] = cdf["color"].to_numpy()
-    num_colors = int(colors.max()) + 1 if n else 1
+        # colors stay worker-side: per-partition state refs from the
+        # coloring engine, shipped into the program by ref (r5 — the
+        # K1 array previously transited the driver and the program
+        # constructor, O(V) twice)
+        k1res = k1_coloring(graph, num_parts=num_parts)
+        color_refs = k1res.state_refs
+        num_colors = max(ray.get([_max_color.remote(r)
+                                  for r in color_refs]), default=-1) + 1
+        num_colors = max(num_colors, 1)
+    else:
+        num_colors = int(colors.max()) + 1 if n else 1
     # seed values are arbitrary int64 (the reference's seedProperty);
     # the volume bookkeeping indexes a length-n array by label, so run
     # on dense codes and translate back afterwards
@@ -296,38 +320,47 @@ def modularity_optimization(
         w_sum = float(graph.num_edges)
     two_m = 2.0 * w_sum
     if two_m == 0:
-        labels = np.arange(n, dtype=np.int64)
+        labels_ref = ray.put(np.arange(n, dtype=np.int64))
         ran = 0
     else:
         prog = ModularityOptimizationProgram(
             n, two_m, colors, num_colors, seeds=seeds,
-            max_sweeps=max_sweeps)
+            max_sweeps=max_sweeps, color_refs=color_refs)
         eng = SuperstepEngine(graph, num_parts=num_parts)
         try:
             res = eng.run(prog, max_iterations=max_sweeps * num_colors + 2,
                           collect=("label",))
+            labels_ref = _assemble_labels.remote(n, *res.state_refs)
+            # materialize before the engine's state tables go away
+            ray.wait([labels_ref])
         finally:
             eng.shutdown()
-        df = res.to_pandas()
-        labels = np.arange(n, dtype=np.int64)
-        labels[df["vid"].to_numpy()] = df["label"].to_numpy()
         ran = -(-res.ran_iterations // num_colors)
-    if seed_values is not None:
-        # surviving labels are still dense seed codes: report the
-        # user's original seed community ids (reference behavior)
-        community = seed_values[labels]
-        q = float(modularity_by_community(graph, labels)[
-            "modularity"].sum())
-    else:
-        _, first_idx, inv = np.unique(labels, return_index=True,
-                                      return_inverse=True)
-        community = first_idx[inv].astype(np.int64)
-        q = float(modularity_by_community(graph, community)[
-            "modularity"].sum())
+    # representative-id densification (and the seed-id translation)
+    # happen worker-side; the driver receives the final community
+    # array exactly once — for the O(V) query output itself
+    community_ref = _finalize_communities.remote(labels_ref, seed_values)
+    q = float(modularity_by_community(graph, community_ref)[
+        "modularity"].sum())
     out = pd.DataFrame({"vid": np.arange(n, dtype=np.int64),
-                        "community": community})
+                        "community": ray.get(community_ref)})
     return out, {"modularity": q, "ran_sweeps": int(ran),
                  "num_colors": num_colors}
+
+
+@ray.remote(num_cpus=0)
+def _finalize_communities(labels: np.ndarray,
+                          seed_values: np.ndarray | None) -> np.ndarray:
+    """Seeded runs report the user's original seed community ids;
+    unseeded runs densify to the min-original-vid representative
+    (first occurrence index of each label IS its min vid). Runs as a
+    num_cpus=0 task so the O(V) label array never transits the driver
+    before the final output composition."""
+    if seed_values is not None:
+        return seed_values[labels]
+    _, first_idx, inv = np.unique(labels, return_index=True,
+                                  return_inverse=True)
+    return first_idx[inv].astype(np.int64)
 
 
 @ray.remote(num_cpus=0)
