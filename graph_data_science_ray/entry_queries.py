@@ -1254,6 +1254,43 @@ def q_multimodal_binary_stats(sf_dir: str):
     return binary_stats(items)
 
 
+def q_multimodal_image_stats(sf_dir: str):
+    """REAL image decode end-to-end (r5): each doc_id synthesizes a
+    24-bit BMP container (closed-form pixels, varying width so the
+    4-byte row padding differs across items), the actor-pool stage
+    struct-parses the header and reassembles the RGB plane, and the
+    decoded-content channel means are SQL-oracle checked — the oracle
+    replays the pixel formula, never the bytes."""
+    from .functions.multimodal import image_stats, synthesize_media_batch
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        return synthesize_media_batch(
+            t["doc_id"].to_numpy(zero_copy_only=False), "bmp")
+
+    items = docs.map_batches(synth, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return image_stats(items)
+
+
+def q_multimodal_audio_stats(sf_dir: str):
+    """REAL audio decode end-to-end (r5): each doc_id synthesizes a
+    PCM16 WAV container (closed-form samples), the actor-pool stage
+    parses the RIFF header with the stdlib wave module and views the
+    frames as int16; header fields (rate/channels) prove the container
+    parse, mean/rms/peak prove the PCM decode — all SQL-replayed."""
+    from .functions.multimodal import audio_stats, synthesize_media_batch
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        return synthesize_media_batch(
+            t["doc_id"].to_numpy(zero_copy_only=False), "wav")
+
+    items = docs.map_batches(synth, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return audio_stats(items)
+
+
 def q_near_dedup_exact(sf_dir: str):
     """MinHash-LSH pipeline at threshold 1.0: clusters = groups whose
     DISTINCT 5-gram shingle sets are equal (Jaccard 1.0 ⟺ set
@@ -3024,6 +3061,54 @@ SELECT d.doc_id AS item_id,
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY item_id"""
 
+# real BMP decode: the fixture pixels are a closed-form function of
+# (doc_id, x, y) — see functions/multimodal.synthetic_image_pixels —
+# so the oracle replays the formula while the Ray side round-trips
+# actual container bytes (encode_bmp → actor-pool decode_bmp)
+ORACLE_SQL["multimodal_image_stats"] = f"""
+WITH dims AS (
+    SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+    FROM documents
+),
+xs AS (SELECT doc_id, w, h, UNNEST(range(0, w)) AS x FROM dims),
+ys AS (SELECT doc_id, UNNEST(range(0, h)) AS y FROM dims),
+px AS (
+    SELECT xs.doc_id, xs.w, xs.h,
+           (xs.doc_id * 7  + 3 * xs.x + 5 * ys.y) & 255 AS r,
+           (xs.doc_id * 11 + 2 * xs.x + 7 * ys.y) & 255 AS g,
+           (xs.doc_id * 13 + 5 * xs.x + 2 * ys.y) & 255 AS b
+    FROM xs JOIN ys ON xs.doc_id = ys.doc_id
+)
+SELECT doc_id AS item_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(CAST(SUM(r) AS DOUBLE) / (w * h), {_ROUND}) AS mean_r,
+       ROUND(CAST(SUM(g) AS DOUBLE) / (w * h), {_ROUND}) AS mean_g,
+       ROUND(CAST(SUM(b) AS DOUBLE) / (w * h), {_ROUND}) AS mean_b
+FROM px GROUP BY doc_id, w, h ORDER BY item_id"""
+
+# real WAV decode: samples are s_t = ((id*7919 + t*104729) & 65535)
+# - 32768 — exact int64 both sides; sample_rate/n_channels come from
+# the parsed RIFF header on the Ray side, constants in the oracle
+ORACLE_SQL["multimodal_audio_stats"] = f"""
+WITH params AS (
+    SELECT doc_id, 400 + (doc_id % 41) * 8 AS n FROM documents
+),
+tt AS (SELECT doc_id, n, UNNEST(range(0, n)) AS t FROM params),
+v AS (
+    SELECT doc_id, n,
+           ((doc_id * 7919 + t * 104729) & 65535) - 32768 AS s
+    FROM tt
+)
+SELECT doc_id AS item_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       ROUND(CAST(SUM(s) AS DOUBLE) / n, {_ROUND}) AS mean_sample,
+       ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE) / n), {_ROUND}) AS rms,
+       MAX(ABS(s)) AS peak
+FROM v GROUP BY doc_id, n ORDER BY item_id"""
+
 
 _ALL_QUERIES = {
     "co_supply_edges": q_co_supply_edges,
@@ -3052,6 +3137,8 @@ _ALL_QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "ngram_dedup": q_ngram_dedup,
     "multimodal_binary_stats": q_multimodal_binary_stats,
+    "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_audio_stats": q_multimodal_audio_stats,
     "near_dedup_exact": q_near_dedup_exact,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,

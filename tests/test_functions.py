@@ -299,6 +299,74 @@ def test_multimodal_binary_stats(ray_session):
         assert out.loc[i, "n_distinct_bytes"] == len(np.unique(a))
 
 
+def test_bmp_codec_round_trip():
+    # every row-padding class (w*3 mod 4) + the closed-form fixture
+    for w in (8, 9, 10, 11):
+        px = np.arange(w * 6 * 3, dtype=np.uint8).reshape(6, w, 3)
+        assert np.array_equal(px, multimodal.decode_bmp(
+            multimodal.encode_bmp(px)))
+    for i in (0, 7, 63, 1000):
+        px = multimodal.synthetic_image_pixels(i)
+        assert np.array_equal(px, multimodal.decode_bmp(
+            multimodal.encode_bmp(px)))
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"nonsense payload")
+
+
+def test_wav_codec_round_trip():
+    for i in (0, 7, 40, 999):
+        s = multimodal.synthetic_wav_samples(i)
+        s2, rate, nch = multimodal.decode_wav(
+            multimodal.encode_wav(s, sample_rate=8000))
+        assert rate == 8000 and nch == 1
+        assert np.array_equal(s, s2)
+    # stereo interleave survives
+    st = np.array([1, -1, 2, -2, 3, -3], dtype=np.int16)
+    s2, rate, nch = multimodal.decode_wav(
+        multimodal.encode_wav(st, sample_rate=16000, n_channels=2))
+    assert nch == 2 and rate == 16000 and np.array_equal(st, s2)
+
+
+def test_multimodal_real_decode_stages(ray_session):
+    ids = np.arange(15, dtype=np.int64)
+    bmp = rd.from_arrow(multimodal.synthesize_media_batch(ids, "bmp"))
+    out = (multimodal.image_stats(bmp).to_pandas()
+           .sort_values("item_id").reset_index(drop=True))
+    for i in ids:
+        px = multimodal.synthetic_image_pixels(i).astype(np.float64)
+        assert out.loc[i, "width"] == px.shape[1]
+        assert out.loc[i, "height"] == px.shape[0]
+        assert abs(out.loc[i, "mean_r"] - round(px[:, :, 0].mean(), 6)) < 1e-9
+    wav = rd.from_arrow(multimodal.synthesize_media_batch(ids, "wav"))
+    aout = (multimodal.audio_stats(wav).to_pandas()
+            .sort_values("item_id").reset_index(drop=True))
+    for i in ids:
+        s = multimodal.synthetic_wav_samples(i).astype(np.int64)
+        assert aout.loc[i, "sample_rate"] == 8000
+        assert aout.loc[i, "n_samples"] == len(s)
+        assert aout.loc[i, "peak"] == int(np.abs(s).max())
+        assert abs(aout.loc[i, "rms"]
+                   - round(float(np.sqrt((s * s).mean())), 6)) < 1e-9
+    # feature extractor takes the REAL decode branch on BMP payloads:
+    # a constant-color image pools to a constant luma grid
+    flat = np.full((10, 12, 3), 100, dtype=np.uint8)
+    ex = multimodal.ImageFeatureExtractor(dim=16, strict=True)
+    t = ex(pa.table({"item_id": pa.array([0], type=pa.int64()),
+                     "payload": pa.array([multimodal.encode_bmp(flat)],
+                                         type=pa.binary())}))
+    f = np.asarray(t["feature"][0].as_py())
+    assert np.allclose(f[:16], f[0]) and -1.0 < f[0] < 0.0
+    # frame sampler decodes WAV: per-frame rms over the actual samples
+    fr = multimodal.AudioFrameSampler(frames_per_item=2, strict=True)
+    s = multimodal.synthetic_wav_samples(3)
+    ft = fr(pa.table({"item_id": pa.array([3], type=pa.int64()),
+                      "payload": pa.array([multimodal.encode_wav(s)],
+                                          type=pa.binary())}))
+    half = s[: len(s) // 2].astype(np.int64)
+    assert abs(ft["rms"][0].as_py()
+               - float(np.sqrt((half * half).mean()))) < 1e-9
+
+
 def test_multimodal_strict_raises(ray_session):
     ex = multimodal.ImageFeatureExtractor(strict=True)
     if ex.decoder is None:
