@@ -603,6 +603,35 @@ def q_louvain(sf_dir: str):
     })
 
 
+def q_louvain_level0(sf_dir: str):
+    """Louvain level-0 (the distributed local-moving phase, no
+    contraction) on the customer–nation bipartite graph, ORACLE-BACKED
+    (r5): with an explicit wave count the vid-window schedule is a
+    deterministic Gauss-Seidel-across-windows / Jacobi-within-window
+    sweep that _louvain_level0_sql replays round by round — the same
+    chained-CTE technique as the modularity_optimization oracle, with
+    the window predicate on vid ranges instead of K1 color classes."""
+    from .pipelines.louvain import louvain_distributed_level
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    nkeys = cust["c_nationkey"].to_numpy(np.int64)
+    offset = int(ckeys.max()) + 1
+    n = offset + int(nkeys.max()) + 1
+    g = PartitionedGraph.from_arrays(n, ckeys, nkeys + offset)
+    labels = ray.get(louvain_distributed_level(g, waves=4, max_sweeps=3))
+    # min-original-vid representative per community (labels of vertices
+    # without edges are their own vid and never collide with moved
+    # labels, which all originate from edge-vertex vids)
+    _, first_idx, inv = np.unique(labels, return_index=True,
+                                  return_inverse=True)
+    community = first_idx[inv].astype(np.int64)
+    order = np.sort(ckeys)
+    return pa.table({
+        "c_custkey": order,
+        "community": community[order],
+    })
+
+
 def q_hits(sf_dir: str):
     """HITS hubs/authorities on the co-supply graph (rows-only)."""
     from .pipelines.hits import hits
@@ -1975,6 +2004,79 @@ ORDER BY s_suppkey""")
     return "\n".join(parts)
 
 
+def _louvain_level0_sql(waves: int = 4, max_sweeps: int = 3) -> str:
+    """Exact oracle for q_louvain_level0: the distributed local-moving
+    level with an explicit wave count is deterministic — iteration t
+    updates the vid window [(w·n)//W, ((w+1)·n)//W) with w = (t−1) mod
+    W (LouvainLocalMoveProgram's linspace bounds; exact in int64 //
+    here, see pipelines/louvain.py), re-scoring candidates with the
+    modularity gain kin − kv·(vol(c) − [c=own]·kv)/2m and the engine's
+    (max gain, min label) tie-break. Gains are integer-valued-double
+    products, bit-identical both sides; rounds past engine convergence
+    are fixpoint no-ops."""
+    rounds = waves * max_sweeps
+    parts = ["""WITH cust AS (SELECT c_custkey AS ck, c_nationkey AS nk
+              FROM customer),
+off AS (SELECT MAX(ck) + 1 AS o FROM cust),
+nn AS (SELECT o + (SELECT MAX(nk) FROM cust) + 1 AS n FROM off),
+e AS MATERIALIZED (SELECT ck AS a, nk + o AS b FROM cust, off),
+und AS MATERIALIZED (
+    SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+),
+deg AS (SELECT a AS vid, CAST(COUNT(*) AS DOUBLE) AS d
+        FROM und GROUP BY a),
+m2 AS (SELECT 2.0 * COUNT(*) AS m FROM e),
+lab0 AS MATERIALIZED (
+    SELECT vid, vid AS lab FROM (SELECT DISTINCT a AS vid FROM und)
+)"""]
+    for t in range(1, rounds + 1):
+        w = (t - 1) % waves
+        pred = (f"l.vid >= ({w} * (SELECT n FROM nn)) // {waves} "
+                f"AND l.vid < ({w + 1} * (SELECT n FROM nn)) // {waves}")
+        parts.append(f""",
+vol{t - 1} AS (
+    SELECT l.lab AS c, SUM(dg.d) AS vol
+    FROM lab{t - 1} l JOIN deg dg ON dg.vid = l.vid GROUP BY l.lab
+),
+cand{t} AS (
+    SELECT v, c, SUM(kin) AS kin FROM (
+        SELECT u.a AS v, l.lab AS c, 1.0 AS kin
+        FROM und u JOIN lab{t - 1} l ON l.vid = u.b
+        UNION ALL
+        SELECT vid AS v, lab AS c, 0.0 AS kin FROM lab{t - 1}
+    ) GROUP BY v, c
+),
+win{t} AS (
+    SELECT v, c AS lab FROM (
+        SELECT cd.v, cd.c,
+               ROW_NUMBER() OVER (PARTITION BY cd.v ORDER BY
+                   cd.kin - ((dg.d * (vv.vol -
+                       CASE WHEN cd.c = lo.lab THEN dg.d ELSE 0.0 END))
+                       / (SELECT m FROM m2)) DESC,
+                   cd.c) AS rn
+        FROM cand{t} cd
+        JOIN deg dg ON dg.vid = cd.v
+        JOIN lab{t - 1} lo ON lo.vid = cd.v
+        JOIN vol{t - 1} vv ON vv.c = cd.c
+    ) WHERE rn = 1
+),
+lab{t} AS MATERIALIZED (
+    SELECT l.vid,
+           CASE WHEN {pred} AND w.lab IS NOT NULL
+                THEN w.lab ELSE l.lab END AS lab
+    FROM lab{t - 1} l LEFT JOIN win{t} w ON w.v = l.vid
+)""")
+    parts.append(f""",
+comm AS (
+    SELECT vid, MIN(vid) OVER (PARTITION BY lab) AS community
+    FROM lab{rounds}
+)
+SELECT c.vid AS c_custkey, c.community
+FROM comm c JOIN cust ON cust.ck = c.vid
+ORDER BY c_custkey""")
+    return "\n".join(parts)
+
+
 def _modularity_optimization_sql(max_sweeps: int = 5) -> str:
     """Exact oracle for q_modularity_optimization: the color-constrained
     local-moving schedule on the customer–nation bipartite graph is a
@@ -3036,6 +3138,7 @@ ORACLE_SQL["embedding_neardup"] = _embedding_neardup_sql()
 ORACLE_SQL["fastrp"] = _fastrp_sql()
 ORACLE_SQL["betweenness"] = _betweenness_sql()
 ORACLE_SQL["modularity_optimization"] = _modularity_optimization_sql()
+ORACLE_SQL["louvain_level0"] = _louvain_level0_sql()
 ORACLE_SQL["k1_coloring"] = _k1_coloring_sql()
 # multimodal plumbing: byte stats of the text payload (ASCII corpus —
 # proven by the fingerprints oracle — so codepoint == byte); the mean
@@ -3178,6 +3281,7 @@ _ALL_QUERIES = {
     "articlerank": q_articlerank,
     "eigenvector": q_eigenvector,
     "louvain": q_louvain,
+    "louvain_level0": q_louvain_level0,
     "hits": q_hits,
     "betweenness": q_betweenness,
     "betweenness_stars": q_betweenness_stars,
