@@ -95,9 +95,11 @@ def brute_force_topk(
     tie-break: higher score first, then smaller vec_id."""
     queries = np.asarray(queries, dtype=np.float64)
     qref = ray.put(queries)
+    from ..stages.resources import stage_cpus
     partials = embeddings.map_batches(
         _BruteScorer, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_args=(qref, k, id_col, vec_col),
+        num_cpus=stage_cpus("ann"),
         concurrency=concurrency).to_pandas()
     if partials.empty:
         return pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
@@ -202,10 +204,12 @@ def ivf_topk(
     near = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
     probe = np.zeros((len(qn), cent.shape[0]), dtype=bool)
     probe[np.repeat(np.arange(len(qn)), nprobe), near.ravel()] = True
+    from ..stages.resources import stage_cpus
     partials = embeddings.map_batches(
         _IVFScorer, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_args=(ray.put(queries), ray.put(cent),
                              ray.put(probe), k, id_col, vec_col),
+        num_cpus=stage_cpus("ann"),
         concurrency=concurrency).to_pandas()
     if partials.empty:
         return pd.DataFrame({"query_id": [], "vec_id": [], "score": [],

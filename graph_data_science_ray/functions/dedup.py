@@ -476,10 +476,12 @@ def minhash_pair_stream(docs: rd.Dataset, num_perm: int = 64,
     within each LSH bucket, but a pair colliding in several bands can
     appear once per band (callers that union-find or re-verify don't
     care; ``minhash_candidates`` adds the global distinct)."""
+    from ..stages.resources import stage_cpus
     lsh_rows = docs.map_batches(
         MinHasher, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "shingle_k": shingle_k},
+        num_cpus=stage_cpus("minhash"),
         concurrency=_pool(concurrency))
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -767,8 +769,10 @@ class SimHasher:
 
 
 def simhash_signatures(docs: rd.Dataset, concurrency=None) -> rd.Dataset:
+    from ..stages.resources import stage_cpus
     return docs.map_batches(SimHasher, batch_format="pyarrow",
                             zero_copy_batch=True,
+                            num_cpus=stage_cpus("simhash"),
                             concurrency=_pool(concurrency))
 
 

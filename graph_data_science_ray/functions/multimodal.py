@@ -314,13 +314,18 @@ class BinaryStatsExtractor:
         })
 
 
+def _mm_cpus() -> float:
+    from ..stages.resources import stage_cpus
+    return stage_cpus("multimodal")
+
+
 def binary_stats(items: rd.Dataset, concurrency=(1, 4),
                  batch_size: int = 64) -> rd.Dataset:
     """(item_id, n_bytes, mean_byte, n_distinct_bytes) over an opaque
     binary column — the real (non-stub) multimodal stage."""
     return items.map_batches(
         BinaryStatsExtractor, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+        num_cpus=_mm_cpus(), batch_size=batch_size, concurrency=concurrency)
 
 
 def extract_image_features(items: rd.Dataset, dim: int = FEATURE_DIM,
@@ -349,7 +354,7 @@ def image_stats(items: rd.Dataset, concurrency=(1, 4),
     decode over an opaque binary column."""
     return items.map_batches(
         ImageStatsExtractor, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+        num_cpus=_mm_cpus(), batch_size=batch_size, concurrency=concurrency)
 
 
 def audio_stats(items: rd.Dataset, concurrency=(1, 4),
@@ -358,7 +363,7 @@ def audio_stats(items: rd.Dataset, concurrency=(1, 4),
     peak) — REAL WAV decode over an opaque binary column."""
     return items.map_batches(
         AudioStatsExtractor, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+        num_cpus=_mm_cpus(), batch_size=batch_size, concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------

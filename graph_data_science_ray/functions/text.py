@@ -68,8 +68,10 @@ class LanguageId:
 
 
 def language_id(docs: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
+    from ..stages.resources import stage_cpus
     return docs.map_batches(LanguageId, batch_format="pyarrow",
                             zero_copy_batch=True,
+                            num_cpus=stage_cpus("text"),
                             concurrency=concurrency)
 
 

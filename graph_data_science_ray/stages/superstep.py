@@ -73,6 +73,17 @@ from .vertex_program import (MIN, OR, SUM, VOTE, StepOutput, VertexProgram,
 _SPARSE_DENSITY = 0.5
 
 
+def groups_from_node_ids(nodes: list[str]) -> list[list[int]]:
+    """Partition ids grouped by the node their worker landed on —
+    the auto node-affinity routing table. One node → one group (the
+    byte-identical single-bundle wire format); >1 node → one
+    destination group per node, ordered by node id for determinism."""
+    by_node: dict[str, list[int]] = {}
+    for p, nid in enumerate(nodes):
+        by_node.setdefault(nid, []).append(p)
+    return [sorted(g) for _, g in sorted(by_node.items())]
+
+
 # --------------------------------------------------------------------------
 # Graph handle
 # --------------------------------------------------------------------------
@@ -1130,18 +1141,21 @@ class SuperstepEngine:
 
     def __init__(self, graph: PartitionedGraph, num_parts: int | None = None,
                  hub_degree_threshold: int | str | None = "auto",
-                 node_affinity: bool | list[list[int]] = False):
+                 node_affinity: bool | str | list[list[int]] = "auto"):
         """node_affinity — destination-group bundle routing for
-        multi-node clusters: False (default) keeps the single-bundle
-        wire format (one packed object per sender per superstep; every
+        multi-node clusters: "auto" (default, r5) detects where the
+        worker actors landed and enables by-node grouping exactly when
+        placement spans more than one node — single-node runs resolve
+        to one group and stay byte-identical to the classic wire
+        format (one packed object per sender per superstep; every
         receiver reads its segment zero-copy — optimal on one node).
-        True groups partitions by the node their worker actor landed
-        on, so each sender emits one object PER NODE holding only that
-        node's partitions' segments: cross-node traffic per superstep
-        drops from senders × whole-bundle to senders × node-slice,
-        and intra-node receivers still share one object. A list of
-        partition-id groups pins the routing table explicitly
-        (tests / custom placement)."""
+        True forces the by-node grouping query; False disables it.
+        With >1 node each sender emits one object PER NODE holding
+        only that node's partitions' segments: cross-node traffic per
+        superstep drops from senders × whole-bundle to senders ×
+        node-slice, and intra-node receivers still share one object.
+        A list of partition-id groups pins the routing table
+        explicitly (tests / custom placement)."""
         self.graph = graph
         if graph.kind == "parquet":
             self.P = graph.num_parts_layout
@@ -1179,12 +1193,9 @@ class SuperstepEngine:
     def _resolve_groups(self, node_affinity) -> list[list[int]]:
         if node_affinity is False or node_affinity is None:
             return [list(range(self.P))]
-        if node_affinity is True:
+        if node_affinity is True or node_affinity == "auto":
             nodes = ray.get([w.node_id.remote() for w in self.workers])
-            by_node: dict[str, list[int]] = {}
-            for p, nid in enumerate(nodes):
-                by_node.setdefault(nid, []).append(p)
-            return [sorted(g) for _, g in sorted(by_node.items())]
+            return groups_from_node_ids(nodes)
         groups = [sorted(g) for g in node_affinity]
         flat = sorted(q for g in groups for q in g)
         if flat != list(range(self.P)):

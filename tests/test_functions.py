@@ -299,6 +299,16 @@ def test_multimodal_binary_stats(ray_session):
         assert out.loc[i, "n_distinct_bytes"] == len(np.unique(a))
 
 
+def test_stage_cpus_env_override(monkeypatch):
+    from graph_data_science_ray.stages import resources
+    monkeypatch.delenv("GRAFT_STAGE_CPUS", raising=False)
+    assert resources.stage_cpus("ann") == 1.0
+    monkeypatch.setenv("GRAFT_STAGE_CPUS", "ann=2, text=0.5,bad")
+    assert resources.stage_cpus("ann") == 2.0
+    assert resources.stage_cpus("text") == 0.5
+    assert resources.stage_cpus("minhash") == 1.0  # untouched default
+
+
 def test_bmp_codec_round_trip():
     # every row-padding class (w*3 mod 4) + the closed-form fixture
     for w in (8, 9, 10, 11):

@@ -78,12 +78,34 @@ def test_grouped_routing_with_hub_split(graph):
 
 
 def test_auto_affinity_single_node_is_one_group(graph):
-    e = SuperstepEngine(graph, num_parts=8, node_affinity=True)
+    # node_affinity=True and the r5 "auto" default both resolve to one
+    # group on a single node (byte-identical classic wire format)
+    for mode in (True, "auto"):
+        e = SuperstepEngine(graph, num_parts=8, node_affinity=mode)
+        try:
+            assert len(e.groups) == 1
+            assert e.groups[0] == list(range(8))
+        finally:
+            e.shutdown()
+    e = SuperstepEngine(graph, num_parts=8)  # the default IS auto
     try:
-        assert len(e.groups) == 1
-        assert e.groups[0] == list(range(8))
+        assert e.groups == [list(range(8))]
     finally:
         e.shutdown()
+
+
+def test_groups_from_node_ids_placement_detection():
+    from graph_data_science_ray.stages.superstep import groups_from_node_ids
+    # single node → one group
+    assert groups_from_node_ids(["n0"] * 6) == [list(range(6))]
+    # two nodes, contiguous halves
+    assert groups_from_node_ids(["a", "a", "b", "b"]) == [[0, 1], [2, 3]]
+    # interleaved placement still partitions correctly, deterministic
+    # group order by node id
+    assert groups_from_node_ids(["b", "a", "b", "a"]) == [[1, 3], [0, 2]]
+    # every partition appears exactly once
+    g = groups_from_node_ids(["x", "y", "z", "y", "x"])
+    assert sorted(q for grp in g for q in grp) == list(range(5))
 
 
 def test_bad_groups_rejected(graph):
