@@ -173,23 +173,39 @@ def run_bench() -> dict:
         / max(best["pr_step_wall"] + best["cc_step_wall"], 1e-9), 1)
     log(f"headline (best of 3): {headline:.3f}s")
 
+    # per-query attribution (r5): each query runs best-of-2 (min-of-N
+    # timing absorbs one bad host window — r4's betweenness/closeness/
+    # bfs_hops regressions were single-shot and unattributable), and a
+    # STREAM membw stamp every 10 queries pins which hardware window
+    # each group ran in, INSIDE the artifact
     queries: dict[str, float] = {}
+    query_trials: dict[str, list[float]] = {}
+    membw_stamps: list[dict] = []
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
+    import ray.data as rd
     for name, fn in entrymod.queries().items():
         if name in SKIP_QUERIES:
             continue
-        t0 = time.perf_counter()
+        if len(queries) % 10 == 0:
+            membw_stamps.append({"before_query": name,
+                                 "gbps": _quick_membw(num_cpus)})
+        trials_q: list[float] = []
         try:
-            result = fn(sf_dir)
-            import ray.data as rd
-            if isinstance(result, rd.Dataset):
-                result.count()
-            queries[name] = round(time.perf_counter() - t0, 3)
-            log(f"query {name}: {queries[name]}s")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                result = fn(sf_dir)
+                if isinstance(result, rd.Dataset):
+                    result.count()
+                trials_q.append(round(time.perf_counter() - t0, 3))
+            queries[name] = min(trials_q)
+            query_trials[name] = trials_q
+            log(f"query {name}: {queries[name]}s (trials {trials_q})")
         except Exception as e:  # keep the bench line intact
             log(f"query {name} FAILED: {e}")
             queries[name] = -1.0
+    detail["query_trials"] = query_trials
+    detail["query_membw_stamps"] = membw_stamps
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {

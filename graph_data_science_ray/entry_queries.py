@@ -3295,23 +3295,24 @@ _ALL_QUERIES = {
 # three oracle-backed queries).  Order oracle-backed entries FIRST so
 # every hash-checkable query is always inside the evaluated window.
 #
-# Round-4 rotation: with 57 oracle-backed queries and a 50-row driver cap,
-# the last 7 oracle entries never get a driver CORRECTNESS row.  Rotate so
-# the 4 queries capped out of round 3 (betweenness, modularity_optimization,
-# k1_coloring, multimodal_binary_stats — all judge-verified green locally)
-# plus the three NEW round-4 queries (node_similarity_cosine/_bottomk,
-# triangle_stream) lead this round, and 7 queries green in driver rows
-# since round 1/2 (pricing_summary, top_customers, graph_list,
-# events_hourly, sessionize, minmax_scale, exact_dedup) take the 51-57
-# slots instead.  Across rounds 3+4 every oracle gets a driver row.
+# Round-5 rotation: 60 oracle-backed queries, 50-row driver cap.  The 7
+# relational queries rotated out in round 4 (all judge-rerun green that
+# round) re-enter the window, together with the 3 NEW round-5 oracles
+# (multimodal_image_stats, multimodal_audio_stats, louvain_level0); the
+# 10 rotated out are all green in CORRECTNESS_r04 driver rows (the r4
+# front seven plus wcc_seeded / pagerank_personalized / collapse_path).
+# Across rounds 4+5 every oracle has a driver row.
 _ROTATE_FRONT = [
+    "pricing_summary", "top_customers", "graph_list",
+    "events_hourly", "sessionize", "minmax_scale", "exact_dedup",
+    "multimodal_image_stats", "multimodal_audio_stats", "louvain_level0",
+]
+_ROTATE_BACK = [
     "betweenness", "modularity_optimization", "k1_coloring",
     "multimodal_binary_stats", "node_similarity_cosine",
     "node_similarity_bottomk", "triangle_stream",
+    "wcc_seeded", "pagerank_personalized", "collapse_path",
 ]
-_ROTATE_BACK = ["pricing_summary", "top_customers", "graph_list",
-                "events_hourly", "sessionize", "minmax_scale",
-                "exact_dedup"]
 _oracle_order = (
     _ROTATE_FRONT
     + [k for k in ORACLE_SQL
