@@ -401,6 +401,53 @@ def q_sessionize(sf_dir: str):
     return out
 
 
+def q_asof_join(sf_dir: str):
+    """Backward as-of join (event attribution): each click matched to
+    the user's most recent view at-or-before it — the ordered-log
+    operator Ray Data lacks natively (r5, functions/temporal.py). One
+    bucket shuffle + vectorized pd.merge_asof per group; ties on the
+    timestamp take the largest view id, sentinels −1 keep the schema
+    null-free for exact hashing."""
+    from .functions.temporal import asof_join
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def side(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return (t.filter(pc.equal(t["event_type"], kind))
+                    .select(["event_id", "ts", "user_id"]))
+        return f
+
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    views = ev.map_batches(side("view"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = asof_join(clicks, views).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    return pa.table({
+        "event_id": out["event_id"].to_numpy(np.int64),
+        "right_event_id": out["right_event_id"].to_numpy(np.int64),
+        "gap_us": out["gap_us"].to_numpy(np.int64),
+    })
+
+
+def q_sliding_window(sf_dir: str):
+    """Per-event 10-minute event-time sliding window over each user's
+    value stream (RANGE semantics: equal-timestamp peers included) —
+    exact int64-cents sums, so association order cannot wobble the
+    float (r5, functions/temporal.py)."""
+    from .functions.temporal import sliding_window_sum
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = sliding_window_sum(ev).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    return pa.table({
+        "event_id": out["event_id"].to_numpy(np.int64),
+        "w_count": out["w_count"].to_numpy(np.int64),
+        "w_sum": np.round(out["w_sum"].to_numpy(np.float64), 2),
+    })
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact duplicate groups by full text: keeper = min doc_id."""
     from ray.data.aggregate import Count, Min
@@ -3164,6 +3211,53 @@ SELECT d.doc_id AS item_id,
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY item_id"""
 
+# as-of join: DuckDB replays the backward-match via a running
+# last-non-null window over the interleaved (view, click) log; the
+# (ts, is_view DESC, event_id) ordering reproduces the engine's
+# largest-id tie-break and exact-timestamp inclusion
+ORACLE_SQL["asof_join"] = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+views AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view'),
+uni AS (
+    SELECT user_id, ts, event_id, 1 AS is_view FROM views
+    UNION ALL
+    SELECT user_id, ts, event_id, 0 AS is_view FROM clicks
+),
+w AS (
+    SELECT user_id, ts, event_id, is_view,
+           LAST_VALUE(CASE WHEN is_view = 1 THEN event_id END
+                      IGNORE NULLS) OVER win AS lv,
+           LAST_VALUE(CASE WHEN is_view = 1 THEN ts END
+                      IGNORE NULLS) OVER win AS lvts
+    FROM uni
+    WINDOW win AS (PARTITION BY user_id
+                   ORDER BY ts, is_view DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id,
+       COALESCE(lv, -1) AS right_event_id,
+       COALESCE(date_diff('microseconds', lvts, ts), -1) AS gap_us
+FROM w WHERE is_view = 0 ORDER BY event_id"""
+
+# sliding window: RANGE frame over event time; both sides sum exact
+# int64 cents and divide by 100 once, so the doubles are identical
+ORACLE_SQL["sliding_window"] = """
+WITH ev AS (
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_id,
+       COUNT(*) OVER w AS w_count,
+       ROUND(CAST(SUM(cents) OVER w AS DOUBLE) / 100, 2) AS w_sum
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                   AND CURRENT ROW)
+ORDER BY event_id"""
+
 # real BMP decode: the fixture pixels are a closed-form function of
 # (doc_id, x, y) — see functions/multimodal.synthetic_image_pixels —
 # so the oracle replays the formula while the Ray side round-trips
@@ -3231,6 +3325,8 @@ _ALL_QUERIES = {
     "events_hourly": q_events_hourly,
     "exact_dedup": q_exact_dedup,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "sliding_window": q_sliding_window,
     "token_counts": q_token_counts,
     "char_classes": q_char_classes,
     "lang_id": q_lang_id,
@@ -3306,12 +3402,14 @@ _ROTATE_FRONT = [
     "pricing_summary", "top_customers", "graph_list",
     "events_hourly", "sessionize", "minmax_scale", "exact_dedup",
     "multimodal_image_stats", "multimodal_audio_stats", "louvain_level0",
+    "asof_join", "sliding_window",
 ]
 _ROTATE_BACK = [
     "betweenness", "modularity_optimization", "k1_coloring",
     "multimodal_binary_stats", "node_similarity_cosine",
     "node_similarity_bottomk", "triangle_stream",
     "wcc_seeded", "pagerank_personalized", "collapse_path",
+    "spanning_tree", "k_spanning_tree",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -1,0 +1,170 @@
+"""Temporal joins and windows — the two ordered-log operators a
+large-scale training-data pipeline needs that Ray Data has no native
+verb for: as-of joins (event attribution, feature look-back) and
+event-time sliding-window aggregates.
+
+Both compose from the toolkit the brief prescribes for custom
+operators: hash-bucket by the `by` key (ONE shuffle), then a
+vectorized pandas kernel inside ``groupby(bucket).map_groups`` —
+per-key data never has to fit anywhere except its bucket group, and
+buckets scale with ``num_buckets``. The partitioning assumption is
+therefore: all rows of one `by` key land in one group (guaranteed by
+the bucket hash), and one bucket's rows fit in a worker's heap (choose
+num_buckets ≈ input_bytes / target_group_bytes at scale).
+
+Determinism contract (what the SQL oracles replay):
+- ``asof_join``: for each left row, the matching right row is the last
+  one in (on, right_id) order with right.on <= left.on and equal `by`
+  key — ties on the timestamp resolve to the largest right id, exact
+  timestamp matches are included.
+- ``sliding_window_sum``: RANGE-window semantics — every row of the
+  same key with on in [t - window, t] counts, INCLUDING equal-t peers
+  (SQL ``RANGE BETWEEN <window> PRECEDING AND CURRENT ROW``); sums run
+  on exact int64 (cents) so association order cannot wobble a float.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_US = 1  # timestamps are normalized to int64 microseconds internally
+
+
+def _to_us(s: pd.Series) -> np.ndarray:
+    return s.astype("datetime64[us]").astype(np.int64).to_numpy()
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str = "ts",
+    by: str = "user_id",
+    right_id: str = "event_id",
+    left_keep: tuple[str, ...] = ("event_id",),
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Backward as-of join: each left row matched to the most recent
+    right row (right.on <= left.on, same `by` key). Output columns:
+    *left_keep, ``right_<right_id>`` (−1 when no prior right row) and
+    ``gap_us`` (−1 likewise) — integer sentinels keep the schema
+    null-free for exact hashing.
+
+    One shuffle (bucket by `by`), then pd.merge_asof per group — the
+    sort and binary search are C-vectorized."""
+    lcols = list(dict.fromkeys(list(left_keep) + [by, on]))
+
+    def tag(side: int, cols):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["__side"] = side
+            df["__bucket"] = df[by].to_numpy() % num_buckets
+            return df
+        return add
+
+    both = (left.map_batches(tag(0, lcols), batch_format="pandas")
+            .union(right.map_batches(tag(1, [by, on, right_id]),
+                                     batch_format="pandas")))
+
+    out_cols = list(left_keep) + [f"right_{right_id}", "gap_us"]
+
+    # the right timestamp is carried through the merge (as __ron) for
+    # the gap computation; (on, rid) sort order makes equal-timestamp
+    # ties resolve to the largest right id (merge_asof takes the last
+    # matching row in frame order)
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0]
+        r = group[group["__side"] == 1]
+        if len(l) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in out_cols})
+        lf = pd.DataFrame({c: l[c].to_numpy() for c in left_keep})
+        lf["__on"] = _to_us(l[on])
+        lf["__by"] = l[by].to_numpy()
+        lf = lf.sort_values(["__on"], kind="stable").reset_index(drop=True)
+        if len(r):
+            rf = pd.DataFrame({"__by": r[by].to_numpy(),
+                               "__rid": r[right_id].to_numpy()})
+            rf["__on"] = _to_us(r[on])
+            rf["__ron"] = rf["__on"]
+            rf = rf.sort_values(["__on", "__rid"],
+                                kind="stable").reset_index(drop=True)
+            m = pd.merge_asof(lf, rf, on="__on", by="__by",
+                              direction="backward")
+            rid = m["__rid"].to_numpy(dtype=np.float64, na_value=-1)
+            ron = m["__ron"].to_numpy(dtype=np.float64, na_value=-1)
+        else:
+            m = lf
+            rid = np.full(len(lf), -1.0)
+            ron = np.full(len(lf), -1.0)
+        matched = rid >= 0
+        out = {c: m[c].to_numpy() for c in left_keep}
+        out[f"right_{right_id}"] = rid.astype(np.int64)
+        out["gap_us"] = np.where(
+            matched, m["__on"].to_numpy() - ron.astype(np.int64),
+            np.int64(-1)).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return both.groupby("__bucket").map_groups(kernel,
+                                               batch_format="pandas")
+
+
+def sliding_window_sum(
+    events: rd.Dataset,
+    on: str = "ts",
+    by: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window: str | int = "10min",
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Per-row event-time sliding window over each `by` key:
+    (id_col, w_count, w_sum) where the window is every row of the key
+    with on ∈ [t − window, t] — RANGE semantics, equal-t peers
+    included. w_sum runs on exact int64 cents (values are 2-decimal)
+    and reports cents/100 — bit-stable regardless of association
+    order. `window` is a pandas offset string or int microseconds."""
+    win_us = (int(window) if isinstance(window, int)
+              else int(pd.Timedelta(window).value // 1000))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, by, on, value_col]].copy()
+        df["__bucket"] = df[by].to_numpy() % num_buckets
+        return df
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "w_count": pd.Series(dtype=np.int64),
+                                 "w_sum": pd.Series(dtype=np.float64)})
+        ts = _to_us(group[on])
+        ids = group[id_col].to_numpy()
+        keys = group[by].to_numpy()
+        cents = np.round(group[value_col].to_numpy()
+                         * 100.0).astype(np.int64)
+        order = np.lexsort((ts, keys))
+        ts, ids, keys, cents = ts[order], ids[order], keys[order], \
+            cents[order]
+        counts = np.empty(len(ts), dtype=np.int64)
+        sums = np.empty(len(ts), dtype=np.int64)
+        # per-key slices: searchsorted window bounds + cumsum diffs
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        bounds = np.r_[starts, len(keys)]
+        for i in range(len(starts)):
+            a, b = bounds[i], bounds[i + 1]
+            t = ts[a:b]
+            c = np.concatenate([[0], np.cumsum(cents[a:b])])
+            lo = np.searchsorted(t, t - win_us, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            counts[a:b] = hi - lo
+            sums[a:b] = c[hi] - c[lo]
+        return pd.DataFrame({
+            id_col: ids.astype(np.int64),
+            "w_count": counts,
+            "w_sum": np.round(sums / 100.0, 2),
+        })
+
+    return (events.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(kernel,
+                                            batch_format="pandas"))

@@ -1,0 +1,96 @@
+"""As-of join + sliding-window aggregate (functions/temporal.py) —
+determinism contract vs brute-force NumPy references, including the
+tie cases the SQL oracles encode (equal timestamps, exact matches)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graph_data_science_ray.functions.temporal import (asof_join,
+                                                       sliding_window_sum)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+BASE = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def _ds(ids, ts_s, users, **extra):
+    df = pd.DataFrame({"event_id": np.asarray(ids, dtype=np.int64),
+                       "ts": BASE + np.asarray(ts_s, dtype="timedelta64[s]"),
+                       "user_id": np.asarray(users, dtype=np.int64)})
+    for k, v in extra.items():
+        df[k] = v
+    return rd.from_pandas(df)
+
+
+def test_asof_join_backward_with_ties():
+    # user 1: views at t=0 (id 10), t=100 (ids 11 and 12 — equal ts,
+    # larger id must win), clicks at t=50, t=100 (exact match), t=200
+    # user 2: click with NO prior view → sentinel −1
+    left = _ds([1, 2, 3, 4], [50, 100, 200, 10], [1, 1, 1, 2])
+    right = _ds([10, 11, 12, 13], [0, 100, 100, 500], [1, 1, 1, 2])
+    out = (asof_join(left, right).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == [1, 2, 3, 4]
+    assert out["right_event_id"].tolist() == [10, 12, 12, -1]
+    assert out["gap_us"].tolist() == [50_000_000, 0, 100_000_000, -1]
+
+
+def test_asof_join_matches_bruteforce_random():
+    rng = np.random.default_rng(11)
+    nl, nr = 400, 300
+    left = _ds(np.arange(nl), rng.integers(0, 5000, nl),
+               rng.integers(0, 12, nl))
+    rids = np.arange(1000, 1000 + nr)
+    rts = rng.integers(0, 5000, nr)
+    rus = rng.integers(0, 12, nr)
+    right = _ds(rids, rts, rus)
+    out = (asof_join(left, right, num_buckets=5).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ldf = left.to_pandas()
+    assert len(out) == nl
+    for _, row in out.iterrows():
+        lrow = ldf[ldf["event_id"] == row["event_id"]].iloc[0]
+        lt = lrow["ts"].to_datetime64()
+        mask = (rus == lrow["user_id"]) & \
+            ((BASE + rts.astype("timedelta64[s]")) <= lt)
+        if not mask.any():
+            assert row["right_event_id"] == -1 and row["gap_us"] == -1
+            continue
+        cand_ts = rts[mask]
+        best_ts = cand_ts.max()
+        best_id = rids[mask][cand_ts == best_ts].max()  # largest-id tie
+        assert row["right_event_id"] == best_id
+        assert row["gap_us"] == (
+            lt - (BASE + np.timedelta64(int(best_ts), "s"))
+        ) // np.timedelta64(1, "us")
+
+
+def test_sliding_window_range_semantics():
+    # user 1 at t = 0, 300, 600, 600, 1200 s with 10-min window:
+    # equal-t peers both count (RANGE, not ROWS); 1200 only sees itself
+    # plus the two 600s (600 >= 1200-600 inclusive)
+    ds = _ds([1, 2, 3, 4, 5], [0, 300, 600, 600, 1200], [1] * 5,
+             value=[1.0, 2.0, 4.0, 8.0, 16.0])
+    out = (sliding_window_sum(ds).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["w_count"].tolist() == [1, 2, 4, 4, 3]
+    assert out["w_sum"].tolist() == [1.0, 3.0, 15.0, 15.0, 28.0]
+
+
+def test_sliding_window_matches_bruteforce_random():
+    rng = np.random.default_rng(5)
+    n = 500
+    ts_s = rng.integers(0, 4000, n)
+    users = rng.integers(0, 9, n)
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    ds = _ds(np.arange(n), ts_s, users, value=vals)
+    out = (sliding_window_sum(ds, num_buckets=4).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    cents = np.round(vals * 100).astype(np.int64)
+    for i in range(n):
+        mask = (users == users[i]) & (ts_s >= ts_s[i] - 600) & \
+            (ts_s <= ts_s[i])
+        assert out.loc[i, "w_count"] == mask.sum()
+        assert out.loc[i, "w_sum"] == round(cents[mask].sum() / 100.0, 2)
