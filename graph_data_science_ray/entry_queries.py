@@ -1309,6 +1309,37 @@ def q_ngram_dedup(sf_dir: str):
     return ngram_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_tfidf(sf_dir: str):
+    """TF-IDF over the documents corpus (r5): one token-bucketed
+    shuffle finalizes tf AND df together (functions/text.tfidf); the
+    ASCII token contract [a-z0-9_']+ is shared with lang_id/simhash
+    and replayed by the oracle's regexp_extract_all."""
+    from .functions.text import tfidf
+    out = tfidf(_read(sf_dir, "documents", ["doc_id", "text"])) \
+        .to_pandas().sort_values(["doc_id", "token"]).reset_index(drop=True)
+    return pa.table({
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "token": pa.array(out["token"].tolist(), type=pa.string()),
+        "tf": out["tf"].to_numpy(np.int64),
+        "df": out["df"].to_numpy(np.int64),
+        "tfidf": out["tfidf"].to_numpy(np.float64),
+    })
+
+
+def q_vocabulary(sf_dir: str):
+    """Global top-100 vocabulary by occurrence count (r5): per-batch
+    partial counts → hash-bucketed global sums → per-block top-k →
+    driver merge; ties break token-ascending."""
+    from .functions.text import vocabulary
+    out = vocabulary(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     top_k=100)
+    return pa.table({
+        "token": pa.array(out["token"].tolist(), type=pa.string()),
+        "cnt": out["count"].to_numpy(np.int64),
+        "rank": out["rank"].to_numpy(np.int64),
+    })
+
+
 def q_multimodal_binary_stats(sf_dir: str):
     """Multimodal plumbing exercised end-to-end on REAL data: document
     texts recast as opaque binary payloads (zero-copy Arrow cast), fed
@@ -3211,6 +3242,39 @@ SELECT d.doc_id AS item_id,
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY item_id"""
 
+# TF-IDF: the ASCII token contract replayed with regexp_extract_all;
+# tf/df are exact integers, tfidf = tf · ln(N/df) of exact-integer
+# operands rounded to 6 (same double division and product both sides)
+ORACLE_SQL["tfidf"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(regexp_extract_all(lower(text), '[a-z0-9_'']+'))
+               AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM toks GROUP BY doc_id, token
+),
+dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT t.doc_id, t.token, t.tf, d.df,
+       ROUND(t.tf * ln((SELECT n FROM n) / d.df), {_ROUND}) AS tfidf
+FROM tf t JOIN dfs d ON d.token = t.token
+ORDER BY t.doc_id, t.token"""
+
+ORACLE_SQL["vocabulary"] = """
+WITH toks AS (
+    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9_'']+'))
+               AS token
+    FROM documents
+),
+tot AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+SELECT token, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+           AS rank
+FROM tot ORDER BY cnt DESC, token LIMIT 100"""
+
 # as-of join: DuckDB replays the backward-match via a running
 # last-non-null window over the interleaved (view, click) log; the
 # (ts, is_view DESC, event_id) ordering reproduces the engine's
@@ -3327,6 +3391,8 @@ _ALL_QUERIES = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "sliding_window": q_sliding_window,
+    "tfidf": q_tfidf,
+    "vocabulary": q_vocabulary,
     "token_counts": q_token_counts,
     "char_classes": q_char_classes,
     "lang_id": q_lang_id,
@@ -3402,14 +3468,14 @@ _ROTATE_FRONT = [
     "pricing_summary", "top_customers", "graph_list",
     "events_hourly", "sessionize", "minmax_scale", "exact_dedup",
     "multimodal_image_stats", "multimodal_audio_stats", "louvain_level0",
-    "asof_join", "sliding_window",
+    "asof_join", "sliding_window", "tfidf", "vocabulary",
 ]
 _ROTATE_BACK = [
     "betweenness", "modularity_optimization", "k1_coloring",
     "multimodal_binary_stats", "node_similarity_cosine",
     "node_similarity_bottomk", "triangle_stream",
     "wcc_seeded", "pagerank_personalized", "collapse_path",
-    "spanning_tree", "k_spanning_tree",
+    "spanning_tree", "k_spanning_tree", "sssp_paths", "all_pairs",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -160,3 +160,92 @@ def fingerprints(docs: rd.Dataset, window: int = 8) -> rd.Dataset:
         })
 
     return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _token_pairs(docs: rd.Dataset) -> rd.Dataset:
+    """Per-batch (doc_id, token, cnt) partial counts under the ASCII
+    token contract [a-z0-9_']+ (the same contract lang_id / simhash and
+    their SQL oracles use). Partial counting INSIDE the batch is the
+    pre-aggregation step — the shuffle ships one row per distinct
+    (doc, token) per batch, not one per occurrence."""
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9_']+")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[parent[keep]]
+        tok = flat.to_pandas().to_numpy()[keep]
+        g = (pd.DataFrame({"doc_id": doc, "token": tok})
+             .groupby(["doc_id", "token"], sort=False).size()
+             .reset_index(name="cnt"))
+        return pa.table({"doc_id": g["doc_id"].to_numpy(np.int64),
+                         "token": pa.array(g["token"].tolist(),
+                                           type=pa.string()),
+                         "cnt": g["cnt"].to_numpy(np.int64)})
+
+    return docs.map_batches(kernel, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def tfidf(docs: rd.Dataset, num_buckets: int = 32,
+          round_to: int = 6) -> rd.Dataset:
+    """(doc_id, token, tf, df, tfidf) — tf·ln(N/df) with raw counts.
+
+    ONE shuffle: partial (doc, token) counts bucket by token, so the
+    bucket kernel finalizes tf (summing cross-batch partials) AND df
+    (distinct docs per token) together — no second pass, no join. N is
+    the corpus row count (a metadata-only count)."""
+    from ..stages.shuffle import _bucket_hash
+    n_docs = float(docs.count())
+    pairs = _token_pairs(docs)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_hash(df, ["token"], num_buckets)
+        return df
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        tf = (group.groupby(["token", "doc_id"], sort=False)["cnt"]
+              .sum().reset_index(name="tf"))
+        tf["df"] = tf.groupby("token", sort=False)["token"].transform("size")
+        tfidf_v = tf["tf"].to_numpy() * np.log(
+            n_docs / tf["df"].to_numpy(np.float64))
+        return pd.DataFrame({
+            "doc_id": tf["doc_id"].to_numpy(np.int64),
+            "token": tf["token"],
+            "tf": tf["tf"].to_numpy(np.int64),
+            "df": tf["df"].to_numpy(np.int64),
+            "tfidf": np.round(tfidf_v, round_to),
+        })
+
+    return (pairs.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(kernel, batch_format="pandas"))
+
+
+def vocabulary(docs: rd.Dataset, top_k: int = 100,
+               num_buckets: int = 32) -> pd.DataFrame:
+    """Global top-k tokens by total occurrence count (vocabulary
+    building): (token, count, rank), ties broken token-ascending.
+
+    Partial counts per batch → hash-bucketed global sums (each token
+    final in exactly one row) → per-block top-k → tiny driver merge."""
+    from ..stages.shuffle import aggregate_rows
+    pairs = _token_pairs(docs)
+    totals = aggregate_rows(pairs, ["token"], ["cnt"],
+                            num_buckets=num_buckets)
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "token"],
+                              ascending=[False, True]).head(top_k)
+
+    small = totals.map_batches(block_topk, batch_format="pandas") \
+        .to_pandas()
+    out = (small.sort_values(["cnt", "token"], ascending=[False, True])
+           .head(top_k).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return pd.DataFrame({"token": out["token"],
+                         "count": out["cnt"].to_numpy(np.int64),
+                         "rank": out["rank"]})

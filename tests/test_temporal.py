@@ -1,6 +1,8 @@
-"""As-of join + sliding-window aggregate (functions/temporal.py) —
-determinism contract vs brute-force NumPy references, including the
-tie cases the SQL oracles encode (equal timestamps, exact matches)."""
+"""Round-5 operator batch: as-of join + sliding-window aggregate
+(functions/temporal.py) and TF-IDF + vocabulary (functions/text.py) —
+determinism contracts vs brute-force references, including the tie
+cases the SQL oracles encode (equal timestamps, exact matches,
+count-tie token ordering)."""
 
 import numpy as np
 import pandas as pd
@@ -77,6 +79,53 @@ def test_sliding_window_range_semantics():
            .sort_values("event_id").reset_index(drop=True))
     assert out["w_count"].tolist() == [1, 2, 4, 4, 3]
     assert out["w_sum"].tolist() == [1.0, 3.0, 15.0, 15.0, 28.0]
+
+
+def test_tfidf_matches_bruteforce():
+    import re
+    from graph_data_science_ray.functions.text import tfidf
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["the cat sat on the mat",
+                 "the dog sat",
+                 "a cat and a dog",
+                 "punctuation, splits; tokens don't break"],
+    })
+    out = (tfidf(rd.from_pandas(docs), num_buckets=3).to_pandas()
+           .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    tok_re = re.compile(r"[a-z0-9_']+")
+    ref_tf = {}
+    ref_df = {}
+    for _, row in docs.iterrows():
+        toks = tok_re.findall(row["text"].lower())
+        for t in set(toks):
+            ref_df[t] = ref_df.get(t, 0) + 1
+        for t in toks:
+            ref_tf[(row["doc_id"], t)] = ref_tf.get(
+                (row["doc_id"], t), 0) + 1
+    assert len(out) == len(ref_tf)
+    n = float(len(docs))
+    for _, r in out.iterrows():
+        key = (r["doc_id"], r["token"])
+        assert r["tf"] == ref_tf[key]
+        assert r["df"] == ref_df[r["token"]]
+        assert abs(r["tfidf"]
+                   - round(r["tf"] * np.log(n / r["df"]), 6)) < 1e-9
+    # the apostrophe stays inside the token (ASCII contract)
+    assert "don't" in set(out["token"])
+
+
+def test_vocabulary_topk_deterministic():
+    from graph_data_science_ray.functions.text import vocabulary
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["b b b a a c", "a b zz zz", "c a"],
+    })
+    out = vocabulary(rd.from_pandas(docs), top_k=3, num_buckets=2)
+    # counts: a=4, b=4, zz=2, c=2 → ties break token-ascending
+    assert out["token"].tolist() == ["a", "b", "c"]
+    assert out["count"].tolist() == [4, 4, 2]
+    assert out["rank"].tolist() == [1, 2, 3]
 
 
 def test_sliding_window_matches_bruteforce_random():
