@@ -52,6 +52,26 @@ def __getattr__(name):
                             "ProgressTracker"),
         "estimate": ("graph_data_science_ray.estimation", "estimate"),
         "check_fits": ("graph_data_science_ray.estimation", "check_fits"),
+        "broadcast_join": ("graph_data_science_ray.functions.join",
+                           "broadcast_join"),
+        "bucket_join": ("graph_data_science_ray.functions.join",
+                        "bucket_join"),
+        "grouped_topk": ("graph_data_science_ray.functions.relational",
+                         "grouped_topk"),
+        "group_quantiles": ("graph_data_science_ray.functions.relational",
+                            "group_quantiles"),
+        "hash_sample": ("graph_data_science_ray.functions.relational",
+                        "hash_sample"),
+        "kmv_distinct": ("graph_data_science_ray.functions.relational",
+                         "kmv_distinct"),
+        "band_join_count": ("graph_data_science_ray.functions.relational",
+                            "band_join_count"),
+        "normalize_text": ("graph_data_science_ray.functions.relational",
+                           "normalize_text"),
+        "asof_join": ("graph_data_science_ray.functions.temporal",
+                      "asof_join"),
+        "sliding_window_sum": ("graph_data_science_ray.functions.temporal",
+                               "sliding_window_sum"),
     }
     if name in surface:
         import importlib

@@ -448,6 +448,196 @@ def q_sliding_window(sf_dir: str):
     })
 
 
+def q_grouped_topk(sf_dir: str):
+    """Top-3 customers per nation by account balance (grouped top-k):
+    per-block partial top-k combiner, ONE bucket shuffle, final rank —
+    shuffle volume O(k x groups), never O(rows) (r5,
+    functions/relational.py). Balances pass through untouched, so the
+    doubles are bit-identical to the oracle's."""
+    from .functions.relational import grouped_topk
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    out = grouped_topk(cust, ["c_nationkey"], "c_acctbal", 3,
+                       tie_cols=["c_custkey"]).to_pandas()
+    out = out.sort_values(["c_nationkey", "rk"]).reset_index(drop=True)
+    return pa.table({
+        "c_nationkey": out["c_nationkey"].to_numpy(np.int64),
+        "rk": out["rk"].to_numpy(np.int64),
+        "c_custkey": out["c_custkey"].to_numpy(np.int64),
+        "c_acctbal": out["c_acctbal"].to_numpy(np.float64),
+    })
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-nation account-balance quantiles (percentile_disc
+    semantics, element at ceil(q*n)-1): blocks compact to
+    (group, cents) -> count partials, one bucket shuffle, sorted-cumsum
+    selection — exact at any scale because only integer cents are
+    ever ordered (r5, functions/relational.py)."""
+    from .functions.relational import group_quantiles
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    out = group_quantiles(cust, ["c_nationkey"], "c_acctbal",
+                          [0.25, 0.5, 0.75, 0.9]).to_pandas()
+    out = out.sort_values("c_nationkey").reset_index(drop=True)
+    return pa.table({
+        "c_nationkey": out["c_nationkey"].to_numpy(np.int64),
+        "q25": out["q25"].to_numpy(np.float64),
+        "q50": out["q50"].to_numpy(np.float64),
+        "q75": out["q75"].to_numpy(np.float64),
+        "q90": out["q90"].to_numpy(np.float64),
+    })
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 10% Bernoulli sample of lineitem keyed on
+    (l_orderkey, l_linenumber) — the murmur-u01 threshold filter every
+    100-TB pipeline needs for reproducible subsampling; a pure map,
+    no shuffle, no RNG state (r5, functions/relational.py). The SQL
+    oracle replays the identical mix bit-for-bit."""
+    from .functions.relational import hash_sample
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = hash_sample(li, ("l_orderkey", "l_linenumber"),
+                      0.1, seed=7).to_pandas()
+    out = out.sort_values(["l_orderkey", "l_linenumber"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "l_orderkey": out["l_orderkey"].to_numpy(np.int64),
+        "l_linenumber": out["l_linenumber"].to_numpy(np.int64),
+        "l_quantity": out["l_quantity"].to_numpy(np.float64),
+    })
+
+
+def q_approx_distinct(sf_dir: str):
+    """KMV (k-minimum-values) distinct-count sketch: distinct customers
+    per order priority, k=256. Each block ships at most k hashes per
+    group (a mergeable combiner), one bucket shuffle merges partials;
+    the k-th smallest distinct 63-bit hash is an exact integer and the
+    estimate is one float division — both replayed bit-exactly in SQL
+    (r5, functions/relational.py)."""
+    from .functions.relational import kmv_distinct
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    out = kmv_distinct(orders, "o_orderpriority", "o_custkey",
+                       k=256, seed=7).to_pandas()
+    out = out.sort_values("o_orderpriority").reset_index(drop=True)
+    return pa.table({
+        "o_orderpriority": out["o_orderpriority"].tolist(),
+        "n_hashes": out["n_hashes"].to_numpy(np.int64),
+        "kth_hash": out["kth_hash"].to_numpy(np.int64),
+        "distinct_est": out["distinct_est"].to_numpy(np.float64),
+    })
+
+
+def q_band_join(sf_dir: str):
+    """Value band self-join, counted: for each customer, how many OTHER
+    customers hold an account balance within +-$1.00 — the non-equi
+    join Ray Data can't express as an equi-shuffle. Rows bucket by
+    floor(cents/band) with constant 3x replication to adjacent
+    windows; group count is value_range/band, independent of row count
+    (r5, functions/relational.py)."""
+    from .functions.relational import band_join_count
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    out = band_join_count(cust, "c_custkey", "c_acctbal",
+                          band_cents=100).to_pandas()
+    out = out.sort_values("c_custkey").reset_index(drop=True)
+    return pa.table({
+        "c_custkey": out["c_custkey"].to_numpy(np.int64),
+        "n_within": out["n_within"].to_numpy(np.int64),
+    })
+
+
+def q_text_normalize(sf_dir: str):
+    """Canonical text normalization (lower -> collapse \\s+ -> trim)
+    over documents — all Arrow RE2/utf8 kernels, zero-copy in; DuckDB
+    compiles the same pattern with RE2 so the outputs are
+    byte-identical (r5, functions/relational.py)."""
+    from .functions.relational import normalize_text
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = normalize_text(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "norm_text": out["norm_text"].tolist(),
+        "n_chars_norm": out["n_chars_norm"].to_numpy(np.int64),
+    })
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """orders x customer distributed equi-join — BOTH sides scale with
+    the data, so this is the bucket hash join (one exchange per side,
+    C-speed pd.merge per bucket; functions/join.py, r5) — then a
+    cents-exact rollup per nation (int64 sums, one final division)."""
+    from .functions.join import bucket_join
+    from .stages.shuffle import aggregate_rows
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": pa.array(np.round(
+                t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"].cast(pa.int64())})
+
+    joined = bucket_join(
+        orders.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust.map_batches(ren, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        on="o_custkey", left_cols=["cents", "one"],
+        right_cols=["c_nationkey"])
+    out = aggregate_rows(joined, ["c_nationkey"], ["cents", "one"]) \
+        .to_pandas().sort_values("c_nationkey").reset_index(drop=True)
+    return pa.table({
+        "c_nationkey": out["c_nationkey"].to_numpy(np.int64),
+        "n_orders": out["one"].to_numpy(np.int64),
+        "revenue": out["cents"].to_numpy(np.int64) / 100.0,
+    })
+
+
+def q_region_acctbal(sf_dir: str):
+    """supplier x nation x region via ONE broadcast join — the
+    dimension side (nation x region, bounded at 25 rows forever) is
+    pre-merged on the driver and shipped to the object store once;
+    the fact side streams with no shuffle (functions/join.py, r5)."""
+    from .functions.join import broadcast_join
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    lookup = (_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+              .to_pandas()
+              .merge(_read(sf_dir, "region").to_pandas(),
+                     left_on="n_regionkey", right_on="r_regionkey"))
+    lookup = pd.DataFrame({
+        "s_nationkey": lookup["n_nationkey"].astype(np.int64),
+        "r_name": lookup["r_name"],
+    })
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_nationkey": t["s_nationkey"].cast(pa.int64()),
+            "cents": pa.array(np.round(
+                t["s_acctbal"].to_numpy() * 100.0).astype(np.int64)),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    joined = broadcast_join(
+        sup.map_batches(to_cents, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        lookup, on="s_nationkey")
+    out = (joined.groupby("r_name")
+           .sum(["cents", "one"])
+           .to_pandas().sort_values("r_name").reset_index(drop=True))
+    return pa.table({
+        "r_name": out["r_name"].tolist(),
+        "n_suppliers": out["sum(one)"].to_numpy(np.int64),
+        "total_acctbal": out["sum(cents)"].to_numpy(np.int64) / 100.0,
+    })
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact duplicate groups by full text: keeper = min doc_id."""
     from ray.data.aggregate import Count, Min
@@ -3370,6 +3560,140 @@ SELECT doc_id AS item_id,
        MAX(ABS(s)) AS peak
 FROM v GROUP BY doc_id, n ORDER BY item_id"""
 
+# --- round-5 relational / sketch operators (functions/relational.py) ---
+
+# grouped top-k: ROW_NUMBER is exactly the engine's
+# (order DESC, tie ASC) rank contract; balances pass through both
+# sides untouched, so the doubles are bit-identical
+ORACLE_SQL["grouped_topk"] = """
+WITH r AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_custkey, c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rk
+    FROM customer
+)
+SELECT c_nationkey, CAST(rk AS BIGINT) AS rk, c_custkey, c_acctbal
+FROM r WHERE rk <= 3 ORDER BY c_nationkey, rk"""
+
+# exact quantiles: DuckDB quantile_disc == the kernel's
+# ceil(q*n)-1 selection (verified empirically); both sides order
+# exact int64 cents and do ONE double division at the end
+ORACLE_SQL["group_quantiles"] = """
+WITH c AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+    FROM customer
+)
+SELECT c_nationkey,
+       CAST(quantile_disc(v, 0.25) AS DOUBLE) / 100 AS q25,
+       CAST(quantile_disc(v, 0.5)  AS DOUBLE) / 100 AS q50,
+       CAST(quantile_disc(v, 0.75) AS DOUBLE) / 100 AS q75,
+       CAST(quantile_disc(v, 0.9)  AS DOUBLE) / 100 AS q90
+FROM c GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+# deterministic sample: the same murmur u01 as split_relationships,
+# replayed bit-exactly (entry_queries._edge_u01_sql)
+ORACLE_SQL["hash_sample"] = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_quantity
+FROM lineitem
+WHERE ({_edge_u01_sql('l_orderkey', 'l_linenumber', 7)}) < 0.1
+ORDER BY l_orderkey, l_linenumber"""
+
+
+def _kmv_sql(group_col: str, value_col: str, table: str,
+             k: int, seed: int) -> str:
+    """KMV sketch replay: the 63-bit value hash (golden-ratio wrapping
+    multiply + seed + murmur finalizer, top bit dropped) in SQL, then
+    the k-th smallest DISTINCT hash per group via ROW_NUMBER. The
+    estimate (k-1)*2^63/kth is one double division of exact operands —
+    bit-identical to functions.relational.kmv_distinct."""
+    m = _wrapmul_sql(f"CAST({value_col} AS UBIGINT)", 0x9E3779B97F4A7C15)
+    x0 = f"CAST(((CAST({m} AS HUGEINT) + {seed}) & {_M64 - 1}) AS UBIGINT)"
+    h = f"CAST(({_mix64_sql(x0)}) >> 1 AS BIGINT)"
+    num = float((k - 1) * (1 << 63))
+    return f"""
+WITH hv AS (
+    SELECT DISTINCT {group_col} AS g, {h} AS h FROM {table}
+),
+ranked AS (
+    SELECT g, h,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS cnt
+    FROM hv
+),
+kth AS (SELECT g, h AS kth FROM ranked WHERE rn = {k}),
+st AS (SELECT g, MAX(cnt) AS cnt FROM ranked GROUP BY g)
+SELECT st.g AS {group_col},
+       CAST(LEAST(st.cnt, {k}) AS BIGINT) AS n_hashes,
+       CAST(COALESCE(kth.kth, -1) AS BIGINT) AS kth_hash,
+       CASE WHEN kth.kth IS NOT NULL
+            THEN {num!r} / CAST(kth.kth AS DOUBLE)
+            ELSE CAST(LEAST(st.cnt, {k}) AS DOUBLE)
+       END AS distinct_est
+FROM st LEFT JOIN kth ON kth.g = st.g
+ORDER BY {group_col}"""
+
+
+ORACLE_SQL["approx_distinct"] = _kmv_sql(
+    "o_orderpriority", "o_custkey", "orders", k=256, seed=7)
+
+# band self-join: exact integer-cents BETWEEN; LEFT JOIN keeps
+# zero-partner rows (the engine emits every home row)
+ORACLE_SQL["band_join"] = """
+WITH c AS (
+    SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+    FROM customer
+)
+SELECT a.c_custkey,
+       CAST(COUNT(b.c_custkey) AS BIGINT) AS n_within
+FROM c a LEFT JOIN c b
+  ON b.c_custkey <> a.c_custkey
+ AND b.v BETWEEN a.v - 100 AND a.v + 100
+GROUP BY a.c_custkey ORDER BY a.c_custkey"""
+
+# text normalization: DuckDB regexp_replace is RE2 like Arrow's, so
+# '\s+' means the same character class on both sides
+ORACLE_SQL["text_normalize"] = r"""
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+               AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+FROM n ORDER BY doc_id"""
+
+# joins: cents-exact rollups after a bucket hash join (orders x
+# customer) and a broadcast join (supplier x bounded dimensions)
+ORACLE_SQL["revenue_by_nation"] = """
+WITH o AS (
+    SELECT o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.cents) AS DOUBLE) / 100 AS revenue
+FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_nationkey ORDER BY c_nationkey"""
+
+ORACLE_SQL["region_acctbal"] = """
+WITH s AS (
+    SELECT s_nationkey,
+           CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents
+    FROM supplier
+)
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(s.cents) AS DOUBLE) / 100 AS total_acctbal
+FROM s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name ORDER BY r.r_name"""
+
 
 _ALL_QUERIES = {
     "co_supply_edges": q_co_supply_edges,
@@ -3393,6 +3717,14 @@ _ALL_QUERIES = {
     "sliding_window": q_sliding_window,
     "tfidf": q_tfidf,
     "vocabulary": q_vocabulary,
+    "grouped_topk": q_grouped_topk,
+    "group_quantiles": q_group_quantiles,
+    "hash_sample": q_hash_sample,
+    "approx_distinct": q_approx_distinct,
+    "band_join": q_band_join,
+    "text_normalize": q_text_normalize,
+    "revenue_by_nation": q_revenue_by_nation,
+    "region_acctbal": q_region_acctbal,
     "token_counts": q_token_counts,
     "char_classes": q_char_classes,
     "lang_id": q_lang_id,
@@ -3457,18 +3789,25 @@ _ALL_QUERIES = {
 # three oracle-backed queries).  Order oracle-backed entries FIRST so
 # every hash-checkable query is always inside the evaluated window.
 #
-# Round-5 rotation: 60 oracle-backed queries, 50-row driver cap.  The 7
+# Round-5 rotation: 72 oracle-backed queries, 50-row driver cap.  The 7
 # relational queries rotated out in round 4 (all judge-rerun green that
-# round) re-enter the window, together with the 3 NEW round-5 oracles
-# (multimodal_image_stats, multimodal_audio_stats, louvain_level0); the
-# 10 rotated out are all green in CORRECTNESS_r04 driver rows (the r4
-# front seven plus wcc_seeded / pagerank_personalized / collapse_path).
-# Across rounds 4+5 every oracle has a driver row.
+# round) re-enter the window, together with ALL ELEVEN new round-5
+# oracles (multimodal_image_stats, multimodal_audio_stats,
+# louvain_level0, asof_join, sliding_window, tfidf, vocabulary, the
+# relational six: grouped_topk, group_quantiles, hash_sample,
+# approx_distinct, band_join, text_normalize, and the join pair:
+# revenue_by_nation, region_acctbal — every oracle with no driver row
+# yet sits in the front window).  The 22 rotated out are ALL green
+# CORRECTNESS_r04 driver rows.  Across rounds 4+5 every oracle has a
+# driver row.
 _ROTATE_FRONT = [
     "pricing_summary", "top_customers", "graph_list",
     "events_hourly", "sessionize", "minmax_scale", "exact_dedup",
     "multimodal_image_stats", "multimodal_audio_stats", "louvain_level0",
     "asof_join", "sliding_window", "tfidf", "vocabulary",
+    "grouped_topk", "group_quantiles", "hash_sample",
+    "approx_distinct", "band_join", "text_normalize",
+    "revenue_by_nation", "region_acctbal",
 ]
 _ROTATE_BACK = [
     "betweenness", "modularity_optimization", "k1_coloring",
@@ -3476,6 +3815,8 @@ _ROTATE_BACK = [
     "node_similarity_bottomk", "triangle_stream",
     "wcc_seeded", "pagerank_personalized", "collapse_path",
     "spanning_tree", "k_spanning_tree", "sssp_paths", "all_pairs",
+    "articlerank", "eigenvector", "hits", "conductance",
+    "modularity_by_nation", "scc", "closeness", "bfs_hops",
 ]
 _oracle_order = (
     _ROTATE_FRONT

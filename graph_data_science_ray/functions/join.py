@@ -1,0 +1,103 @@
+"""Distributed equi-joins, the two shapes that matter at 100 TB:
+
+- ``broadcast_join``: the small side is put in the object store ONCE
+  (``ray.put``) and every map task reads it zero-copy — no shuffle at
+  all, the big side streams through ``map_batches``. This is the
+  correct plan whenever one side fits in a worker heap (dimension
+  tables, lookup maps) and is the pattern the repo already uses for
+  query-vector and id-map broadcasts.
+
+- ``bucket_join``: both sides are hash-bucketed on the key into a
+  SMALL controlled number of groups (ONE shuffle per side, expressed
+  as union + groupby so Ray executes a single exchange), then a
+  C-speed ``pd.merge`` per bucket. Every key lands in exactly one
+  bucket, so bucket-local joins are globally correct. Group count is
+  ``num_buckets`` (~cluster cores), never key cardinality — the same
+  rationale as stages/shuffle.distinct_rows.
+
+Ray 2.49 ships an experimental ``Dataset.join``; these exist because
+(a) the broadcast plan is strictly cheaper for small sides and the
+native join always shuffles both sides, and (b) the bucket join's
+group count is explicit and bounded, which the repo's scale invariants
+require (see CLAUDE.md on sort-based groupby cost).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..stages.shuffle import _bucket_hash
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pd.DataFrame,
+    on: str,
+    columns: list[str] | None = None,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Join a streaming Dataset against a small in-memory side: the
+    small frame is shipped to the object store once and indexed inside
+    each task; per-batch work is one vectorized ``pd.merge``. No
+    shuffle — the output keeps the big side's partitioning."""
+    if columns is not None:
+        small = small[list(dict.fromkeys([on] + columns))]
+    small_ref = ray.put(small)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(small_ref)
+        return df.merge(rhs, on=on, how=how)
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def bucket_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Hash-partitioned equi-join of two Datasets: tag each side, one
+    union + bucket groupby (a single exchange), ``pd.merge`` per
+    bucket. `how` supports 'inner' and 'left'. Column sets should be
+    disjoint apart from the key (pruned via left_cols/right_cols)."""
+    lcols = list(dict.fromkeys([on] + (left_cols or [])))
+    rcols = list(dict.fromkeys([on] + (right_cols or [])))
+
+    def tag(side: int, cols):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["__side"] = np.int8(side)
+            df["__bucket"] = _bucket_hash(df, [on], num_buckets)
+            return df
+        return add
+
+    both = (left.map_batches(tag(0, lcols), batch_format="pandas")
+            .union(right.map_batches(tag(1, rcols),
+                                     batch_format="pandas")))
+
+    out_cols = lcols + [c for c in rcols if c != on]
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][lcols]
+        r = group[group["__side"] == 1][rcols]
+        if len(l) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(kernel,
+                                               batch_format="pandas")
+
+
+def to_arrow_sorted(ds: rd.Dataset, sort_cols: list[str]) -> pa.Table:
+    """Small-result helper: collect and canonically order (tests)."""
+    return pa.Table.from_pandas(
+        ds.to_pandas().sort_values(sort_cols).reset_index(drop=True),
+        preserve_index=False)

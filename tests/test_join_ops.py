@@ -1,0 +1,75 @@
+"""functions/join.py: broadcast and bucket equi-joins vs a pandas
+reference, including keys split across blocks, unmatched keys, and
+left-join null semantics."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from graph_data_science_ray.functions.join import (broadcast_join,
+                                                   bucket_join)
+
+
+def _ds(df: pd.DataFrame, blocks: int = 6) -> rd.Dataset:
+    return rd.from_pandas([d for _, d in
+                           df.groupby(np.arange(len(df)) % blocks)])
+
+
+def _facts(n=300, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "x": rng.integers(0, 1000, n).astype(np.int64),
+    })
+
+
+def _dim():
+    return pd.DataFrame({"k": np.arange(0, 35, dtype=np.int64),
+                         "name": [f"d{i}" for i in range(35)]})
+
+
+def test_broadcast_join_inner_matches_pandas():
+    facts = _facts()
+    out = (broadcast_join(_ds(facts), _dim(), on="k")
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    ref = (facts.merge(_dim(), on="k", how="inner")
+           .sort_values(["k", "x"]).reset_index(drop=True))
+    assert out["x"].tolist() == ref["x"].tolist()
+    assert out["name"].tolist() == ref["name"].tolist()
+    # keys 35..39 have no dimension row and must be dropped
+    assert out["k"].max() < 35
+
+
+def test_broadcast_join_left_keeps_unmatched():
+    facts = _facts()
+    out = (broadcast_join(_ds(facts), _dim(), on="k", how="left")
+           .to_pandas())
+    assert len(out) == len(facts)
+    assert out.loc[out["k"] >= 35, "name"].isna().all()
+
+
+def test_bucket_join_inner_matches_pandas():
+    facts = _facts()
+    dim = _dim()
+    out = (bucket_join(_ds(facts), _ds(dim, 3), on="k",
+                       left_cols=["x"], right_cols=["name"])
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    ref = (facts.merge(dim, on="k", how="inner")
+           .sort_values(["k", "x"]).reset_index(drop=True))
+    assert out["k"].tolist() == ref["k"].tolist()
+    assert out["x"].tolist() == ref["x"].tolist()
+    assert out["name"].tolist() == ref["name"].tolist()
+
+
+def test_bucket_join_many_to_many():
+    left = pd.DataFrame({"k": [1, 1, 2], "x": [10, 11, 20]})
+    right = pd.DataFrame({"k": [1, 1, 3], "y": [5, 6, 7]})
+    out = (bucket_join(_ds(left, 2), _ds(right, 2), on="k",
+                       left_cols=["x"], right_cols=["y"])
+           .to_pandas().sort_values(["k", "x", "y"])
+           .reset_index(drop=True))
+    # 2 left x 2 right rows for k=1; k=2 and k=3 unmatched
+    assert len(out) == 4
+    assert out["k"].tolist() == [1, 1, 1, 1]
+    assert sorted(zip(out["x"], out["y"])) == [(10, 5), (10, 6),
+                                               (11, 5), (11, 6)]
