@@ -591,7 +591,17 @@ def q_revenue_by_nation(sf_dir: str):
                          zero_copy_batch=True),
         on="o_custkey", left_cols=["cents", "one"],
         right_cols=["c_nationkey"])
-    out = aggregate_rows(joined, ["c_nationkey"], ["cents", "one"]) \
+
+    # pre-aggregate INSIDE map_batches before the final groupby — the
+    # second exchange ships <=25 rows per join bucket, not the whole
+    # joined table (the brief's partial/combiner rule)
+    def partial_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_nationkey", as_index=False)[
+            ["cents", "one"]].sum()
+
+    out = aggregate_rows(
+        joined.map_batches(partial_rollup, batch_format="pandas"),
+        ["c_nationkey"], ["cents", "one"], num_buckets=4) \
         .to_pandas().sort_values("c_nationkey").reset_index(drop=True)
     return pa.table({
         "c_nationkey": out["c_nationkey"].to_numpy(np.int64),
@@ -1527,6 +1537,52 @@ def q_vocabulary(sf_dir: str):
         "token": pa.array(out["token"].tolist(), type=pa.string()),
         "cnt": out["count"].to_numpy(np.int64),
         "rank": out["rank"].to_numpy(np.int64),
+    })
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index (token -> df + ascending posting list) under the
+    shared ASCII token contract: per-batch (doc, token) partials, ONE
+    token-bucket shuffle, posting strings built exactly once per token
+    (r5, functions/text.inverted_index)."""
+    from .functions.text import inverted_index
+    out = inverted_index(_read(sf_dir, "documents", ["doc_id", "text"])) \
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    return pa.table({
+        "token": pa.array(out["token"].tolist(), type=pa.string()),
+        "df": out["df"].to_numpy(np.int64),
+        "postings": pa.array(out["postings"].tolist(), type=pa.string()),
+    })
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample — exactly 10 orders per order
+    priority, chosen by murmur-hash order (composition: the 63-bit
+    value hash as grouped_topk's ascending order column). Unlike
+    fraction sampling this guarantees the per-stratum size; the hash
+    makes it reproducible on any partitioning (r5)."""
+    from .functions.relational import _value_hash63, grouped_topk
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderkey": t["o_orderkey"],
+            "h": pa.array(_value_hash63(
+                t["o_orderkey"].to_numpy(), 99)),
+        })
+
+    ds = orders.map_batches(add_h, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = grouped_topk(ds, ["o_orderpriority"], "h", 10,
+                       tie_cols=["o_orderkey"], ascending=True) \
+        .to_pandas().sort_values(["o_orderpriority", "rk"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "o_orderpriority": out["o_orderpriority"].tolist(),
+        "rk": out["rk"].to_numpy(np.int64),
+        "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+        "h": out["h"].to_numpy(np.int64),
     })
 
 
@@ -3680,6 +3736,45 @@ SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
 FROM o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c.c_nationkey ORDER BY c_nationkey"""
 
+# inverted index: string_agg ORDER BY doc_id == the kernel's
+# pre-sorted join; int-to-string formatting is plain digits both sides
+ORACLE_SQL["inverted_index"] = """
+WITH raw AS (
+    SELECT doc_id,
+           UNNEST(regexp_extract_all(lower(text), '[a-z0-9_'']+'))
+               AS token
+    FROM documents
+),
+t AS (SELECT DISTINCT doc_id, token FROM raw)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+FROM t GROUP BY token ORDER BY token"""
+
+
+def _stratified_sample_sql(n_per_group: int, seed: int) -> str:
+    """Replay of q_stratified_sample: the same 63-bit value hash of
+    o_orderkey, ROW_NUMBER over (hash, key) per priority."""
+    m = _wrapmul_sql("CAST(o_orderkey AS UBIGINT)", 0x9E3779B97F4A7C15)
+    x0 = f"CAST(((CAST({m} AS HUGEINT) + {seed}) & {_M64 - 1}) AS UBIGINT)"
+    h = f"CAST(({_mix64_sql(x0)}) >> 1 AS BIGINT)"
+    return f"""
+WITH hv AS (
+    SELECT o_orderpriority, o_orderkey, {h} AS h FROM orders
+),
+r AS (
+    SELECT o_orderpriority, o_orderkey, h,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY h, o_orderkey) AS rk
+    FROM hv
+)
+SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, h
+FROM r WHERE rk <= {n_per_group}
+ORDER BY o_orderpriority, rk"""
+
+
+ORACLE_SQL["stratified_sample"] = _stratified_sample_sql(10, 99)
+
 ORACLE_SQL["region_acctbal"] = """
 WITH s AS (
     SELECT s_nationkey,
@@ -3725,6 +3820,8 @@ _ALL_QUERIES = {
     "text_normalize": q_text_normalize,
     "revenue_by_nation": q_revenue_by_nation,
     "region_acctbal": q_region_acctbal,
+    "inverted_index": q_inverted_index,
+    "stratified_sample": q_stratified_sample,
     "token_counts": q_token_counts,
     "char_classes": q_char_classes,
     "lang_id": q_lang_id,
@@ -3789,17 +3886,17 @@ _ALL_QUERIES = {
 # three oracle-backed queries).  Order oracle-backed entries FIRST so
 # every hash-checkable query is always inside the evaluated window.
 #
-# Round-5 rotation: 72 oracle-backed queries, 50-row driver cap.  The 7
+# Round-5 rotation: 74 oracle-backed queries, 50-row driver cap.  The 7
 # relational queries rotated out in round 4 (all judge-rerun green that
-# round) re-enter the window, together with ALL ELEVEN new round-5
+# round) re-enter the window, together with ALL THIRTEEN new round-5
 # oracles (multimodal_image_stats, multimodal_audio_stats,
 # louvain_level0, asof_join, sliding_window, tfidf, vocabulary, the
 # relational six: grouped_topk, group_quantiles, hash_sample,
-# approx_distinct, band_join, text_normalize, and the join pair:
-# revenue_by_nation, region_acctbal — every oracle with no driver row
-# yet sits in the front window).  The 22 rotated out are ALL green
-# CORRECTNESS_r04 driver rows.  Across rounds 4+5 every oracle has a
-# driver row.
+# approx_distinct, band_join, text_normalize, the join pair:
+# revenue_by_nation, region_acctbal, plus inverted_index and
+# stratified_sample — every oracle with no driver row yet sits in the
+# front window).  The 24 rotated out are ALL green CORRECTNESS_r04
+# driver rows.  Across rounds 4+5 every oracle has a driver row.
 _ROTATE_FRONT = [
     "pricing_summary", "top_customers", "graph_list",
     "events_hourly", "sessionize", "minmax_scale", "exact_dedup",
@@ -3808,6 +3905,7 @@ _ROTATE_FRONT = [
     "grouped_topk", "group_quantiles", "hash_sample",
     "approx_distinct", "band_join", "text_normalize",
     "revenue_by_nation", "region_acctbal",
+    "inverted_index", "stratified_sample",
 ]
 _ROTATE_BACK = [
     "betweenness", "modularity_optimization", "k1_coloring",
@@ -3817,6 +3915,7 @@ _ROTATE_BACK = [
     "spanning_tree", "k_spanning_tree", "sssp_paths", "all_pairs",
     "articlerank", "eigenvector", "hits", "conductance",
     "modularity_by_nation", "scc", "closeness", "bfs_hops",
+    "kmeans", "random_walks",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -70,20 +70,36 @@ def bucket_join(
     disjoint apart from the key (pruned via left_cols/right_cols)."""
     lcols = list(dict.fromkeys([on] + (left_cols or [])))
     rcols = list(dict.fromkeys([on] + (right_cols or [])))
+    all_cols = lcols + [c for c in rcols if c != on]
 
+    # every block carries the FULL union schema (the other side's
+    # columns NaN-padded): block schemas must be identical or the
+    # shuffle's block concatenation silently drops the minority side's
+    # columns from mixed/empty blocks
     def tag(side: int, cols):
         def add(df: pd.DataFrame) -> pd.DataFrame:
             df = df[cols].copy()
+            for c in all_cols:
+                if c not in cols:
+                    df[c] = np.nan
+            df = df[all_cols].copy()
             df["__side"] = np.int8(side)
             df["__bucket"] = _bucket_hash(df, [on], num_buckets)
             return df
         return add
 
+    # compact EACH side before the union: Ray's sort-based groupby keys
+    # its shuffle fan-out to the INPUT block count, and a union of two
+    # many-block reads is the worst case (same measured gotcha as
+    # pipelines/walks.py:392 — 37.7 s -> ~3 s on a 300-block union)
+    half = max(num_buckets // 2, 1)
     both = (left.map_batches(tag(0, lcols), batch_format="pandas")
+            .repartition(half)
             .union(right.map_batches(tag(1, rcols),
-                                     batch_format="pandas")))
+                                     batch_format="pandas")
+                   .repartition(half)))
 
-    out_cols = lcols + [c for c in rcols if c != on]
+    out_cols = all_cols
 
     def kernel(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0][lcols]

@@ -225,6 +225,43 @@ def tfidf(docs: rd.Dataset, num_buckets: int = 32,
             .groupby("__bucket").map_groups(kernel, batch_format="pandas"))
 
 
+def inverted_index(docs: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """(token, df, postings) — the classic retrieval structure: per
+    token its document frequency and the comma-joined ASCENDING list
+    of distinct doc ids containing it.
+
+    Same shape as tfidf: per-batch (doc, token) partials, ONE
+    token-bucket shuffle, then a per-bucket groupby builds each
+    posting list exactly once (a token lives in exactly one bucket).
+    At 100 TB the posting strings for stop-word-grade tokens get
+    large — the output is a Dataset, written partitioned, never
+    driver-resident."""
+    from ..stages.shuffle import _bucket_hash
+    pairs = _token_pairs(docs)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "token"]].drop_duplicates()
+        df["__bucket"] = _bucket_hash(df, ["token"], num_buckets)
+        return df
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        d = (group[["token", "doc_id"]].drop_duplicates()
+             .sort_values(["token", "doc_id"], kind="stable"))
+        g = d.groupby("token", sort=False)
+        sz = g.size()                      # index: tokens, appearance =
+        posts = g["doc_id"].agg(           # ascending (d pre-sorted);
+            lambda s: ",".join(map(str, s.tolist())))  # shared index
+        return pd.DataFrame({
+            "token": sz.index.to_numpy(dtype=object),
+            "df": sz.to_numpy(np.int64),
+            "postings": posts.to_numpy(),
+        })
+
+    return (pairs.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(kernel,
+                                            batch_format="pandas"))
+
+
 def vocabulary(docs: rd.Dataset, top_k: int = 100,
                num_buckets: int = 32) -> pd.DataFrame:
     """Global top-k tokens by total occurrence count (vocabulary

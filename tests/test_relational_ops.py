@@ -166,3 +166,50 @@ def test_normalize_text_matches_duckdb():
         FROM n ORDER BY doc_id""").df()
     assert out["norm_text"].tolist() == ref["norm_text"].tolist()
     assert out["n_chars_norm"].tolist() == ref["n_chars_norm"].tolist()
+
+
+def test_inverted_index_matches_duckdb():
+    import duckdb
+    from graph_data_science_ray.functions.text import inverted_index
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the cat sat", "THE the dog", "bird", "cat CAT cat",
+                 "", "dog bird the"],
+    })
+    out = (inverted_index(_ds(df, 3)).to_pandas()
+           .sort_values("token").reset_index(drop=True))
+    ref = duckdb.sql("""
+        WITH raw AS (SELECT doc_id,
+                     UNNEST(regexp_extract_all(lower(text),
+                            '[a-z0-9_'']+')) AS token FROM df),
+        t AS (SELECT DISTINCT doc_id, token FROM raw)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM t GROUP BY token ORDER BY token""").df()
+    assert out["token"].tolist() == ref["token"].tolist()
+    assert out["df"].tolist() == ref["df"].tolist()
+    assert out["postings"].tolist() == ref["postings"].tolist()
+    # spot-check: 'the' appears in docs 0,1,5 once each regardless of
+    # per-doc multiplicity
+    the = out[out["token"] == "the"].iloc[0]
+    assert the["postings"] == "0,1,5" and the["df"] == 3
+
+
+def test_stratified_sample_fixed_size_per_group():
+    from graph_data_science_ray.functions.relational import (
+        _value_hash63, grouped_topk)
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "grp": rng.integers(0, 4, 200).astype(np.int64),
+        "key": np.arange(200, dtype=np.int64),
+    })
+    df["h"] = _value_hash63(df["key"].to_numpy(), 99)
+    out = (grouped_topk(_ds(df, 5), ["grp"], "h", 7, ["key"],
+                        ascending=True).to_pandas())
+    sizes = out.groupby("grp").size()
+    assert (sizes == 7).all()
+    # per group: exactly the 7 smallest hashes, partition-invariant
+    for g, sub in out.groupby("grp"):
+        want = np.sort(df.loc[df["grp"] == g, "h"].to_numpy())[:7]
+        assert np.array_equal(np.sort(sub["h"].to_numpy()), want)
