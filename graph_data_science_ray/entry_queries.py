@@ -562,6 +562,86 @@ def q_text_normalize(sf_dir: str):
     })
 
 
+def q_lag_delta(sf_dir: str):
+    """Per-user LAG over the event log: previous event id + exact
+    cents delta (sentinels -1/0 on each user's first event). One
+    bucket shuffle, vectorized shift (r5, functions/temporal.py)."""
+    from .functions.temporal import lag_delta
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = lag_delta(ev).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    return pa.table({
+        "event_id": out["event_id"].to_numpy(np.int64),
+        "prev_event_id": out["prev_event_id"].to_numpy(np.int64),
+        "delta_cents": out["delta_cents"].to_numpy(np.int64),
+    })
+
+
+def q_ntile_quartiles(sf_dir: str):
+    """NTILE(4) of customers per nation by (acctbal, custkey) —
+    even-as-possible tile distribution, first count%4 tiles one row
+    larger, exactly SQL NTILE (r5, functions/relational.py)."""
+    from .functions.relational import ntile
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    out = ntile(cust, ["c_nationkey"], "c_acctbal", 4,
+                tie_cols=["c_custkey"]).to_pandas() \
+        .sort_values(["c_nationkey", "c_custkey"]).reset_index(drop=True)
+    return pa.table({
+        "c_nationkey": out["c_nationkey"].to_numpy(np.int64),
+        "c_custkey": out["c_custkey"].to_numpy(np.int64),
+        "c_acctbal": out["c_acctbal"].to_numpy(np.float64),
+        "tile": out["tile"].to_numpy(np.int64),
+    })
+
+
+def q_global_rank(sf_dir: str):
+    """Exact GLOBAL row number of every customer by balance (desc,
+    custkey tie) WITHOUT a global sort: a bounded (value -> count)
+    table becomes a broadcast running offset, equal values co-locate
+    by ONE value-bucket shuffle, ties rank locally (r5,
+    functions/relational.global_rank_int — the distributed ORDER BY
+    for fixed-point/enum domains)."""
+    from .functions.relational import global_rank_int
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    out = global_rank_int(cust, "c_acctbal", "c_custkey",
+                          descending=True).to_pandas() \
+        .sort_values("rn").reset_index(drop=True)
+    return pa.table({
+        "c_custkey": out["c_custkey"].to_numpy(np.int64),
+        "rn": out["rn"].to_numpy(np.int64),
+        "c_acctbal": out["c_acctbal"].to_numpy(np.float64),
+    })
+
+
+def q_histogram(sf_dir: str):
+    """Fixed-width ($500) balance histogram: per-block partial
+    bincounts (the combiner — the shuffle ships one row per touched
+    bin per block, never per input row), bucket-summed (r5)."""
+    from .stages.shuffle import aggregate_rows
+    cust = _read(sf_dir, "customer", ["c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].to_numpy()
+                         * 100.0).astype(np.int64)
+        b = pd.DataFrame({"bin": np.floor_divide(cents, 50000),
+                          "cents": cents})
+        g = b.groupby("bin", sort=False)["cents"].agg(["size", "sum"])
+        return pd.DataFrame({"bin": g.index.to_numpy(np.int64),
+                             "n": g["size"].to_numpy(np.int64),
+                             "cents": g["sum"].to_numpy(np.int64)})
+
+    out = aggregate_rows(
+        cust.map_batches(partial, batch_format="pandas"),
+        ["bin"], ["n", "cents"], num_buckets=8).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    return pa.table({
+        "bin": out["bin"].to_numpy(np.int64),
+        "n": out["n"].to_numpy(np.int64),
+        "total": out["cents"].to_numpy(np.int64) / 100.0,
+    })
+
+
 def q_revenue_by_nation(sf_dir: str):
     """orders x customer distributed equi-join — BOTH sides scale with
     the data, so this is the bucket hash join (one exchange per side,
@@ -3722,6 +3802,51 @@ SELECT doc_id, norm_text,
        CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n ORDER BY doc_id"""
 
+# LAG window: COALESCE sentinels mirror the kernel's first-row -1/0
+ORACLE_SQL["lag_delta"] = """
+WITH ev AS (
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_id,
+       COALESCE(LAG(event_id) OVER w, -1) AS prev_event_id,
+       COALESCE(cents - LAG(cents) OVER w, 0) AS delta_cents
+FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id"""
+
+ORACLE_SQL["ntile_quartiles"] = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+       c_acctbal,
+       CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal, c_custkey) AS BIGINT)
+           AS tile
+FROM customer ORDER BY c_nationkey, c_custkey"""
+
+# global rank: both sides round-trip the balance through cents so the
+# reconstructed double is identical
+ORACLE_SQL["global_rank"] = """
+WITH c AS (
+    SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+    FROM customer
+)
+SELECT c_custkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY v DESC, c_custkey) AS BIGINT)
+           AS rn,
+       CAST(v AS DOUBLE) / 100 AS c_acctbal
+FROM c ORDER BY rn"""
+
+# histogram: FLOOR(v/50000.0) == numpy floor_divide on these exact
+# integer cents (boundary multiples divide exactly in IEEE)
+ORACLE_SQL["histogram"] = """
+WITH c AS (
+    SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer
+)
+SELECT CAST(FLOOR(v / 50000.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) / 100 AS total
+FROM c GROUP BY bin ORDER BY bin"""
+
 # joins: cents-exact rollups after a bucket hash join (orders x
 # customer) and a broadcast join (supplier x bounded dimensions)
 ORACLE_SQL["revenue_by_nation"] = """
@@ -3822,6 +3947,10 @@ _ALL_QUERIES = {
     "region_acctbal": q_region_acctbal,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
+    "lag_delta": q_lag_delta,
+    "ntile_quartiles": q_ntile_quartiles,
+    "global_rank": q_global_rank,
+    "histogram": q_histogram,
     "token_counts": q_token_counts,
     "char_classes": q_char_classes,
     "lang_id": q_lang_id,
@@ -3886,17 +4015,19 @@ _ALL_QUERIES = {
 # three oracle-backed queries).  Order oracle-backed entries FIRST so
 # every hash-checkable query is always inside the evaluated window.
 #
-# Round-5 rotation: 74 oracle-backed queries, 50-row driver cap.  The 7
+# Round-5 rotation: 78 oracle-backed queries, 50-row driver cap.  The 7
 # relational queries rotated out in round 4 (all judge-rerun green that
-# round) re-enter the window, together with ALL THIRTEEN new round-5
+# round) re-enter the window, together with ALL SEVENTEEN new round-5
 # oracles (multimodal_image_stats, multimodal_audio_stats,
 # louvain_level0, asof_join, sliding_window, tfidf, vocabulary, the
 # relational six: grouped_topk, group_quantiles, hash_sample,
 # approx_distinct, band_join, text_normalize, the join pair:
-# revenue_by_nation, region_acctbal, plus inverted_index and
-# stratified_sample — every oracle with no driver row yet sits in the
-# front window).  The 24 rotated out are ALL green CORRECTNESS_r04
-# driver rows.  Across rounds 4+5 every oracle has a driver row.
+# revenue_by_nation, region_acctbal, inverted_index,
+# stratified_sample, and the window/rank four: lag_delta,
+# ntile_quartiles, global_rank, histogram — every oracle with no
+# driver row yet sits in the front window).  The 28 rotated out are
+# ALL green CORRECTNESS_r04 driver rows.  Across rounds 4+5 every
+# oracle has a driver row.
 _ROTATE_FRONT = [
     "pricing_summary", "top_customers", "graph_list",
     "events_hourly", "sessionize", "minmax_scale", "exact_dedup",
@@ -3906,6 +4037,7 @@ _ROTATE_FRONT = [
     "approx_distinct", "band_join", "text_normalize",
     "revenue_by_nation", "region_acctbal",
     "inverted_index", "stratified_sample",
+    "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
 _ROTATE_BACK = [
     "betweenness", "modularity_optimization", "k1_coloring",
@@ -3916,6 +4048,7 @@ _ROTATE_BACK = [
     "articlerank", "eigenvector", "hits", "conductance",
     "modularity_by_nation", "scc", "closeness", "bfs_hops",
     "kmeans", "random_walks",
+    "fastrp", "split_relationships", "embedding_neardup", "ann_topk",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -160,6 +160,132 @@ def group_quantiles(
             .groupby("__bucket").map_groups(final, batch_format="pandas"))
 
 
+def ntile(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    n: int,
+    tie_cols: list[str],
+    ascending: bool = True,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """SQL NTILE(n) per group: rows in (order, tie) order distributed
+    into n tiles as evenly as possible, the first count%n tiles one
+    row larger. Output: every input row's group/tie columns plus
+    ``tile`` (1-based). ONE bucket shuffle (all rows of a group must
+    meet to know the group's count — the documented partitioning
+    assumption: one group fits its bucket's worker heap)."""
+    keep = list(dict.fromkeys(group_cols + [order_col] + tie_cols))
+    sort_cols = [order_col] + tie_cols
+    sort_asc = [ascending] + [True] * len(tie_cols)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keep].copy()
+        df["__bucket"] = _bucket_hash(df, group_cols, num_buckets)
+        return df
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        df = group[keep].sort_values(sort_cols, ascending=sort_asc,
+                                     kind="stable").reset_index(drop=True)
+        rn = df.groupby(group_cols, sort=False).cumcount().to_numpy()
+        cnt = df.groupby(group_cols, sort=False)[order_col] \
+            .transform("size").to_numpy()
+        size, big = cnt // n, cnt % n
+        cut = big * (size + 1)
+        in_big = rn < cut
+        tile = np.where(
+            in_big,
+            rn // np.maximum(size + 1, 1),
+            big + np.where(size > 0, (rn - cut) // np.maximum(size, 1),
+                           0)) + 1
+        df["tile"] = tile.astype(np.int64)
+        return df
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(kernel,
+                                            batch_format="pandas"))
+
+
+def global_rank_int(
+    ds: rd.Dataset,
+    value_col: str,
+    tie_col: str,
+    descending: bool = True,
+    num_buckets: int = 32,
+    cents: bool = True,
+) -> rd.Dataset:
+    """Exact GLOBAL row number over (value DESC|ASC, tie ASC) without a
+    global sort: ROW_NUMBER() OVER (ORDER BY v, tie) semantics.
+
+    Two small exchanges instead of an all-to-all sort:
+      1. (value -> count) partials per block, bucket-summed — the
+         table is bounded by the VALUE DOMAIN (e.g. money cents), not
+         the row count; the driver turns it into an exclusive running
+         offset per distinct value (O(domain) once, broadcast via
+         ray.put).
+      2. rows bucket-shuffled BY VALUE so equal values co-locate; the
+         kernel ranks ties locally and adds the broadcast offset.
+    The partitioning assumption — distinct-value table fits the driver
+    — holds for fixed-point/money/enum domains; for unbounded domains
+    use a sort-based rank instead."""
+    import ray
+
+    def to_iv(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy()
+        return pd.DataFrame({
+            "__v": (np.round(v * 100.0).astype(np.int64) if cents
+                    else v.astype(np.int64)),
+            "tie": df[tie_col].to_numpy().astype(np.int64),
+        })
+
+    rows = ds.map_batches(to_iv, batch_format="pandas")
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("__v", sort=False).size().reset_index(
+            name="cnt")
+        out["__bucket"] = _bucket_hash(out, ["__v"], num_buckets)
+        return out
+
+    def merge_counts(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby("__v", sort=False)["cnt"].sum()
+                .reset_index())
+
+    counts = (rows.map_batches(partial_counts, batch_format="pandas")
+              .groupby("__bucket")
+              .map_groups(merge_counts, batch_format="pandas")
+              .to_pandas())
+    counts = counts.sort_values("__v", ascending=not descending) \
+        .reset_index(drop=True)
+    offsets = np.r_[np.int64(0),
+                    np.cumsum(counts["cnt"].to_numpy())[:-1]]
+    off_ref = ray.put(pd.Series(offsets,
+                                index=counts["__v"].to_numpy()))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_hash(df, ["__v"], num_buckets)
+        return df
+
+    def rank_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = group.sort_values(["__v", "tie"], kind="stable")
+        local = df.groupby("__v", sort=False).cumcount().to_numpy()
+        base = off.loc[df["__v"].to_numpy()].to_numpy()
+        out = pd.DataFrame({
+            tie_col: df["tie"].to_numpy(np.int64),
+            "rn": (base + local + 1).astype(np.int64),
+        })
+        if cents:
+            out[value_col] = df["__v"].to_numpy() / 100.0
+        else:
+            out[value_col] = df["__v"].to_numpy(np.int64)
+        return out
+
+    return (rows.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(rank_kernel,
+                                            batch_format="pandas"))
+
+
 def hash_sample(
     ds: rd.Dataset,
     key_cols: tuple[str, str],

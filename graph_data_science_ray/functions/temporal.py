@@ -110,6 +110,53 @@ def asof_join(
                                                batch_format="pandas")
 
 
+def lag_delta(
+    events: rd.Dataset,
+    on: str = "ts",
+    by: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Per-row LAG over each `by` key's (on, id) order: the previous
+    row's id and the value delta in exact int64 cents. First row of a
+    key gets prev id −1 and delta 0 (null-free sentinels, same
+    contract as asof_join). Same scale shape as the other window
+    operators here: ONE bucket shuffle, vectorized shift per group."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, by, on, value_col]].copy()
+        df["__bucket"] = df[by].to_numpy() % num_buckets
+        return df
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                f"prev_{id_col}": pd.Series(dtype=np.int64),
+                "delta_cents": pd.Series(dtype=np.int64)})
+        ts = _to_us(group[on])
+        ids = group[id_col].to_numpy()
+        keys = group[by].to_numpy()
+        cents = np.round(group[value_col].to_numpy()
+                         * 100.0).astype(np.int64)
+        order = np.lexsort((ids, ts, keys))
+        ts, ids, keys, cents = ts[order], ids[order], keys[order], \
+            cents[order]
+        first = np.r_[True, keys[1:] != keys[:-1]]
+        prev_id = np.r_[np.int64(-1), ids[:-1]]
+        delta = np.r_[np.int64(0), cents[1:] - cents[:-1]]
+        prev_id[first] = -1
+        delta[first] = 0
+        return pd.DataFrame({id_col: ids.astype(np.int64),
+                             f"prev_{id_col}": prev_id.astype(np.int64),
+                             "delta_cents": delta.astype(np.int64)})
+
+    return (events.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(kernel,
+                                            batch_format="pandas"))
+
+
 def sliding_window_sum(
     events: rd.Dataset,
     on: str = "ts",
