@@ -72,6 +72,13 @@ def __getattr__(name):
                       "asof_join"),
         "sliding_window_sum": ("graph_data_science_ray.functions.temporal",
                                "sliding_window_sum"),
+        "lag_delta": ("graph_data_science_ray.functions.temporal",
+                      "lag_delta"),
+        "ntile": ("graph_data_science_ray.functions.relational", "ntile"),
+        "global_rank_int": ("graph_data_science_ray.functions.relational",
+                            "global_rank_int"),
+        "inverted_index": ("graph_data_science_ray.functions.text",
+                           "inverted_index"),
     }
     if name in surface:
         import importlib
