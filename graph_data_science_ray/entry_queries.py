@@ -1724,6 +1724,26 @@ def q_multimodal_audio_stats(sf_dir: str):
     return audio_stats(items)
 
 
+def q_multimodal_png_stats(sf_dir: str):
+    """REAL PNG decode end-to-end (r5): each doc_id synthesizes an
+    8-bit RGBA PNG (closed-form pixels, encoder cycles all five
+    scanline filter types across rows), the actor-pool stage walks the
+    CRC-verified chunk stream, zlib-inflates the IDAT payload and
+    reverses the filters; the decoded RGB channel means are
+    SQL-oracle checked. The alpha plane participates in the filters,
+    so a wrong alpha unfilter corrupts the checked RGB means."""
+    from .functions.multimodal import image_stats, synthesize_media_batch
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        return synthesize_media_batch(
+            t["doc_id"].to_numpy(zero_copy_only=False), "png")
+
+    items = docs.map_batches(synth, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return image_stats(items)
+
+
 def q_near_dedup_exact(sf_dir: str):
     """MinHash-LSH pipeline at threshold 1.0: clusters = groups whose
     DISTINCT 5-gram shingle sets are equal (Jaccard 1.0 ⟺ set
@@ -3674,6 +3694,32 @@ SELECT doc_id AS item_id,
        ROUND(CAST(SUM(b) AS DOUBLE) / (w * h), {_ROUND}) AS mean_b
 FROM px GROUP BY doc_id, w, h ORDER BY item_id"""
 
+# real PNG decode: RGBA fixture pixels are closed-form in (doc_id, x,
+# y) — functions/multimodal.synthetic_image_pixels_rgba — so the
+# oracle replays the formula while the Ray side round-trips actual
+# PNG containers (zlib deflate, CRC chunks, all five scanline filters)
+ORACLE_SQL["multimodal_png_stats"] = f"""
+WITH dims AS (
+    SELECT doc_id, 8 + doc_id % 11 AS w, 8 + doc_id % 5 AS h
+    FROM documents
+),
+xs AS (SELECT doc_id, w, h, UNNEST(range(0, w)) AS x FROM dims),
+ys AS (SELECT doc_id, UNNEST(range(0, h)) AS y FROM dims),
+px AS (
+    SELECT xs.doc_id, xs.w, xs.h,
+           (xs.doc_id * 5  + 2 * xs.x + 3 * ys.y) & 255 AS r,
+           (xs.doc_id * 9  + 4 * xs.x +     ys.y) & 255 AS g,
+           (xs.doc_id * 17 +     xs.x + 6 * ys.y) & 255 AS b
+    FROM xs JOIN ys ON xs.doc_id = ys.doc_id
+)
+SELECT doc_id AS item_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(CAST(SUM(r) AS DOUBLE) / (w * h), {_ROUND}) AS mean_r,
+       ROUND(CAST(SUM(g) AS DOUBLE) / (w * h), {_ROUND}) AS mean_g,
+       ROUND(CAST(SUM(b) AS DOUBLE) / (w * h), {_ROUND}) AS mean_b
+FROM px GROUP BY doc_id, w, h ORDER BY item_id"""
+
 # real WAV decode: samples are s_t = ((id*7919 + t*104729) & 65535)
 # - 32768 — exact int64 both sides; sample_rate/n_channels come from
 # the parsed RIFF header on the Ray side, constants in the oracle
@@ -3961,6 +4007,7 @@ _ALL_QUERIES = {
     "ngram_dedup": q_ngram_dedup,
     "multimodal_binary_stats": q_multimodal_binary_stats,
     "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_png_stats": q_multimodal_png_stats,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "near_dedup_exact": q_near_dedup_exact,
     "ann_topk": q_ann_topk,
@@ -4015,10 +4062,11 @@ _ALL_QUERIES = {
 # three oracle-backed queries).  Order oracle-backed entries FIRST so
 # every hash-checkable query is always inside the evaluated window.
 #
-# Round-5 rotation: 78 oracle-backed queries, 50-row driver cap.  The 7
+# Round-5 rotation: 79 oracle-backed queries, 50-row driver cap.  The 7
 # relational queries rotated out in round 4 (all judge-rerun green that
-# round) re-enter the window, together with ALL SEVENTEEN new round-5
-# oracles (multimodal_image_stats, multimodal_audio_stats,
+# round) re-enter the window, together with ALL new round-5
+# oracles (multimodal_image_stats, multimodal_png_stats,
+# multimodal_audio_stats,
 # louvain_level0, asof_join, sliding_window, tfidf, vocabulary, the
 # relational six: grouped_topk, group_quantiles, hash_sample,
 # approx_distinct, band_join, text_normalize, the join pair:
@@ -4031,7 +4079,8 @@ _ALL_QUERIES = {
 _ROTATE_FRONT = [
     "pricing_summary", "top_customers", "graph_list",
     "events_hourly", "sessionize", "minmax_scale", "exact_dedup",
-    "multimodal_image_stats", "multimodal_audio_stats", "louvain_level0",
+    "multimodal_image_stats", "multimodal_png_stats",
+    "multimodal_audio_stats", "louvain_level0",
     "asof_join", "sliding_window", "tfidf", "vocabulary",
     "grouped_topk", "group_quantiles", "hash_sample",
     "approx_distinct", "band_join", "text_normalize",

@@ -15,8 +15,16 @@ environment can parse (r5):
   BGR plane with one NumPy reshape — no PIL/cv2 needed.
 - **WAV** (PCM16): ``decode_wav`` parses the RIFF container with the
   stdlib ``wave`` module and views the frames as an int16 array.
+- **PNG** (8-bit gray/RGB/RGBA, non-interlaced): ``decode_png``
+  walks the chunk stream (CRC-verified), inflates the IDAT payload
+  with stdlib ``zlib`` and reverses the five scanline filters —
+  None/Sub/Up fully vectorized (Sub is a per-channel cumsum mod 256),
+  Average/Paeth as per-row scans (their left-neighbor dependence is
+  inherently sequential). ``encode_png`` cycles all five filter types
+  across rows by default so a decode round-trip exercises every
+  unfilter path.
 
-Formats that genuinely need external codecs (PNG/JPEG inflate, MP3)
+Formats that genuinely need external codecs (JPEG DCT, MP3)
 keep the documented stub behavior: ``strict=True`` raises
 NotImplementedError at the decode step; the default deterministic-fake
 mode hashes the payload into a fixed-shape feature vector so the
@@ -29,6 +37,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -113,6 +122,136 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     return np.frombuffer(frames, dtype="<i2"), rate, nch
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray,
+               filters: list[int] | None = None) -> bytes:
+    """(H, W, 3|4) uint8 (RGB/RGBA) or (H, W) uint8 gray → PNG bytes.
+
+    Real container: IHDR/IDAT/IEND chunks with CRC32s, zlib-deflated
+    filtered scanlines. ``filters`` picks the per-row filter type
+    (0..4); the default cycles through all five so decoders see every
+    unfilter path. Filtering itself is vectorized per row."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError("encode_png expects gray, RGB or RGBA pixels")
+    if filters is None:
+        filters = [r % 5 for r in range(h)]
+    raw = bytearray()
+    zero_row = np.zeros((w, c), dtype=np.int64)
+    prev = zero_row
+    for r in range(h):
+        row = px[r].astype(np.int64)
+        left = np.vstack([np.zeros((1, c), np.int64), row[:-1]])
+        up = prev
+        ul = np.vstack([np.zeros((1, c), np.int64), prev[:-1]])
+        f = int(filters[r]) % 5
+        if f == 0:
+            out = row
+        elif f == 1:
+            out = row - left
+        elif f == 2:
+            out = row - up
+        elif f == 3:
+            out = row - (left + up) // 2
+        else:  # Paeth
+            p = left + up - ul
+            pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, up, ul))
+            out = row - pred
+        raw.append(f)
+        raw += (out & 255).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8 array (C = 1 gray / 3 RGB / 4 RGBA).
+
+    Real stdlib-only decode: chunk walk with CRC32 verification, zlib
+    inflate, scanline unfiltering. 8-bit depth, non-interlaced only
+    (palette/16-bit/Adam7 would need real spec work, not a codec lib,
+    but aren't needed by any fixture)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        length, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8: pos + 8 + length]
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"interlace={interlace})")
+    c = _PNG_CHANNELS.get(color_type)
+    if c is None:
+        raise NotImplementedError(
+            f"unsupported PNG color type {color_type}")
+    stride = 1 + w * c
+    rows = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8,
+                         count=h * stride).reshape(h, stride)
+    out = np.empty((h, w * c), dtype=np.uint8)
+    prev = np.zeros(w * c, dtype=np.int64)
+    for r in range(h):
+        f = int(rows[r, 0])
+        cur = rows[r, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:
+            # Sub: rec[x] = cur[x] + rec[x-c] — a per-channel running
+            # sum; cumsum in int64 then &255 == iterated mod-256 adds
+            rec = (np.cumsum(cur.reshape(w, c), axis=0) & 255).reshape(-1)
+        elif f == 2:
+            rec = (cur + prev) & 255
+        elif f in (3, 4):
+            rec = np.empty(w * c, dtype=np.int64)
+            for i in range(w * c):
+                a = rec[i - c] if i >= c else 0
+                b = prev[i]
+                if f == 3:
+                    rec[i] = (cur[i] + (a + b) // 2) & 255
+                else:
+                    cc = prev[i - c] if i >= c else 0
+                    p = a + b - cc
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = (a if pa_ <= pb_ and pa_ <= pc_
+                            else b if pb_ <= pc_ else cc)
+                    rec[i] = (cur[i] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = rec
+        prev = rec
+    return out.reshape(h, w, c)
+
+
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a decoded-content embedding."""
     h = hashlib.blake2b(payload, digest_size=8 * ((dim + 7) // 8)).digest()
@@ -120,20 +259,36 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     return (raw - 127.5) / 127.5
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-dispatched real decode → (H, W, C) uint8 (BMP or PNG)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "unrecognized image container (BMP and PNG decode are real; "
+        "JPEG needs an external codec)")
+
+
 class ImageStatsExtractor:
-    """binary BMP column → per-image decoded-content stats. REAL decode
-    (struct header parse + NumPy pixel reassembly); oracle-checked via
-    q_multimodal_image_stats, whose fixture pixels are a closed-form
-    function the SQL replays."""
+    """binary BMP/PNG column → per-image decoded-content stats. REAL
+    decode (struct header parse / zlib inflate + NumPy pixel
+    reassembly); oracle-checked via q_multimodal_image_stats and
+    q_multimodal_png_stats, whose fixture pixels are closed-form
+    functions the SQL replays. Means cover the first three channels
+    (RGB); an RGBA alpha plane still participates in the scanline
+    filters, so a wrong alpha decode corrupts the RGB means too."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws, hs, mr, mg, mb = [], [], [], [], []
         for p in batch["payload"].to_pylist():
-            px = decode_bmp(p)
+            px = decode_image(p)
+            if px.shape[2] == 1:
+                px = np.repeat(px, 3, axis=2)
             h, w, _ = px.shape
             ws.append(w)
             hs.append(h)
-            sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            sums = px[:, :, :3].reshape(-1, 3).sum(axis=0, dtype=np.int64)
             cnt = max(h * w, 1)
             mr.append(sums[0] / cnt)
             mg.append(sums[1] / cnt)
@@ -180,10 +335,10 @@ class ImageFeatureExtractor:
     """binary image column → fixed-dim feature vector column.
 
     Real pipeline shape: __init__ loads the decoder + model ONCE per
-    actor; __call__ decodes and embeds a small batch. BMP payloads get
-    REAL decode (grid-pooled luma feature over the decoded pixels);
-    other formats fall back to PIL if present, else the deterministic
-    fake (or NotImplementedError with strict=True)."""
+    actor; __call__ decodes and embeds a small batch. BMP and PNG
+    payloads get REAL decode (grid-pooled luma feature over the
+    decoded pixels); other formats fall back to PIL if present, else
+    the deterministic fake (or NotImplementedError with strict=True)."""
 
     def __init__(self, dim: int = FEATURE_DIM, strict: bool = False):
         self.dim = dim
@@ -197,11 +352,15 @@ class ImageFeatureExtractor:
             self.decoder = None
         self.grid = max(1, int(np.sqrt(dim)))
 
-    def _bmp_feature(self, payload: bytes) -> np.ndarray:
+    def _decoded_feature(self, payload: bytes) -> np.ndarray:
         """grid×grid pooled luma means over the decoded pixels, scaled
         to [-1, 1] — a real (if simple) content embedding."""
-        px = decode_bmp(payload).astype(np.float64)
-        luma = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+        px = decode_image(payload).astype(np.float64)
+        if px.shape[2] == 1:
+            luma = px[:, :, 0]
+        else:
+            luma = (px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587
+                    + px[:, :, 2] * 0.114)
         h, w = luma.shape
         g = self.grid
         ys = np.linspace(0, h, g + 1).astype(np.int64)
@@ -219,12 +378,12 @@ class ImageFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for p in batch["payload"].to_pylist():
-            if p[:2] == b"BM":
-                feats.append(self._bmp_feature(p))
+            if p[:2] == b"BM" or p[:8] == _PNG_SIG:
+                feats.append(self._decoded_feature(p))
             elif self.decoder is None and self.strict:
                 raise NotImplementedError(
-                    "non-BMP image decode requires PIL/cv2 (not in this "
-                    "container); run with strict=False for the "
+                    "non-BMP/PNG image decode requires PIL/cv2 (not in "
+                    "this container); run with strict=False for the "
                     "deterministic fake")
             else:
                 feats.append(_fake_feature(p, self.dim))
@@ -387,6 +546,25 @@ def synthetic_image_pixels(item_id: int) -> np.ndarray:
     return np.stack([r, g, b], axis=2).astype(np.uint8)
 
 
+def synthetic_image_pixels_rgba(item_id: int) -> np.ndarray:
+    """(h, w, 4) uint8 RGBA for the PNG fixture with w = 8 + id%11,
+    h = 8 + id%5 (different dims than the BMP fixture so the filter
+    row cycle and scanline widths differ) and channel formulas the
+    oracle replays: r=(id*5+2x+3y)&255, g=(id*9+4x+y)&255,
+    b=(id*17+x+6y)&255, a=(id*3+x+2y)&255. Alpha participates in the
+    scanline filters, so a wrong alpha unfilter corrupts the RGB
+    means the oracle checks."""
+    i = int(item_id)
+    w = 8 + i % 11
+    h = 8 + i % 5
+    y, x = np.mgrid[0:h, 0:w]
+    r = (i * 5 + 2 * x + 3 * y) & 255
+    g = (i * 9 + 4 * x + y) & 255
+    b = (i * 17 + x + 6 * y) & 255
+    a = (i * 3 + x + 2 * y) & 255
+    return np.stack([r, g, b, a], axis=2).astype(np.uint8)
+
+
 def synthetic_wav_samples(item_id: int) -> np.ndarray:
     """int16 PCM with n = 400 + (id%41)*8 samples and
     s_t = ((id*7919 + t*104729) & 65535) - 32768 — exact in int64 both
@@ -402,6 +580,10 @@ def synthesize_media_batch(ids: np.ndarray, kind: str) -> pa.Table:
     the distributed fixture stage (map_batches over an id column)."""
     if kind == "bmp":
         payloads = [encode_bmp(synthetic_image_pixels(i)) for i in ids]
+    elif kind == "png":
+        # default filter cycle: every item taller than 4 rows ships all
+        # five scanline filter types through the decoder
+        payloads = [encode_png(synthetic_image_pixels_rgba(i)) for i in ids]
     elif kind == "wav":
         payloads = [encode_wav(synthetic_wav_samples(i)) for i in ids]
     else:

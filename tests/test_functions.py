@@ -323,6 +323,60 @@ def test_bmp_codec_round_trip():
         multimodal.decode_bmp(b"nonsense payload")
 
 
+def test_png_codec_round_trip():
+    rng = np.random.default_rng(7)
+    # every filter type × gray/RGB/RGBA × edge sizes (1-wide rows have
+    # no left neighbor; 1-tall images have no up neighbor)
+    for c in (1, 3, 4):
+        for h, w in [(1, 1), (1, 7), (6, 1), (9, 13)]:
+            shape = (h, w, c) if c > 1 else (h, w)
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            ref = px if px.ndim == 3 else px[:, :, None]
+            for f in range(5):
+                got = multimodal.decode_png(
+                    multimodal.encode_png(px, filters=[f] * h))
+                assert np.array_equal(got, ref), (c, h, w, f)
+            got = multimodal.decode_png(multimodal.encode_png(px))
+            assert np.array_equal(got, ref)
+    # RGBA fixture + default cycling filters
+    for i in (0, 7, 63, 1000):
+        px = multimodal.synthetic_image_pixels_rgba(i)
+        assert np.array_equal(
+            px, multimodal.decode_png(multimodal.encode_png(px)))
+    # corrupted chunk bytes fail the CRC walk; non-PNG fails the magic
+    good = bytearray(multimodal.encode_png(
+        multimodal.synthetic_image_pixels_rgba(3)))
+    good[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"nonsense payload")
+
+
+def test_png_stats_stage(ray_session):
+    """image_stats takes the PNG decode branch end-to-end: RGB means
+    of the decoded RGBA fixture match the pixel formula."""
+    ids = np.arange(12, dtype=np.int64)
+    png = rd.from_arrow(multimodal.synthesize_media_batch(ids, "png"))
+    out = (multimodal.image_stats(png).to_pandas()
+           .sort_values("item_id").reset_index(drop=True))
+    for i in ids:
+        px = multimodal.synthetic_image_pixels_rgba(i).astype(np.float64)
+        assert out.loc[i, "width"] == px.shape[1]
+        assert out.loc[i, "height"] == px.shape[0]
+        for ch, col in enumerate(["mean_r", "mean_g", "mean_b"]):
+            assert abs(out.loc[i, col]
+                       - round(px[:, :, ch].mean(), 6)) < 1e-9
+    # the feature extractor's strict path accepts PNG as real decode
+    flat = np.full((10, 12, 3), 100, dtype=np.uint8)
+    ex = multimodal.ImageFeatureExtractor(dim=16, strict=True)
+    t = ex(pa.table({"item_id": pa.array([0], type=pa.int64()),
+                     "payload": pa.array([multimodal.encode_png(flat)],
+                                         type=pa.binary())}))
+    f = np.asarray(t["feature"][0].as_py())
+    assert np.allclose(f[:16], f[0]) and -1.0 < f[0] < 0.0
+
+
 def test_wav_codec_round_trip():
     for i in (0, 7, 40, 999):
         s = multimodal.synthetic_wav_samples(i)
