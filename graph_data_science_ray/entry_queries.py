@@ -728,6 +728,112 @@ def q_region_acctbal(sf_dir: str):
     })
 
 
+def q_customers_no_orders(sf_dir: str):
+    """NOT EXISTS via the distributed anti join (functions/join.py,
+    r5): customers with no URGENT order, rolled up per nation (every
+    customer has SOME order in this corpus, so the unfiltered variant
+    is trivially empty). The right side ships only
+    per-batch-deduplicated keys — at 100 TB the exchange is
+    O(distinct custkeys), not O(orders). Cents-exact money sums."""
+    from .functions.join import anti_join
+    from .stages.shuffle import aggregate_rows
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"].cast(pa.int64()),
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "cents": pa.array(np.round(
+                t["c_acctbal"].to_numpy() * 100.0).astype(np.int64)),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    def key_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        urgent = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"c_custkey":
+                         t.filter(urgent)["o_custkey"].cast(pa.int64())})
+
+    kept = anti_join(
+        cust.map_batches(to_cents, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        orders.map_batches(key_only, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        on="c_custkey", left_cols=["c_nationkey", "cents", "one"])
+
+    # the union's NaN padding promotes int columns to float64; the
+    # values are exact integers (< 2^53) so the cast back is lossless
+    def partial_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_nationkey", as_index=False)[
+            ["cents", "one"]].sum()
+        return pd.DataFrame({
+            "c_nationkey": g["c_nationkey"].astype(np.int64),
+            "cents": g["cents"].astype(np.int64),
+            "one": g["one"].astype(np.int64),
+        })
+
+    out = aggregate_rows(
+        kept.map_batches(partial_rollup, batch_format="pandas"),
+        ["c_nationkey"], ["cents", "one"], num_buckets=4) \
+        .to_pandas().sort_values("c_nationkey").reset_index(drop=True)
+    return pa.table({
+        "c_nationkey": out["c_nationkey"].to_numpy(np.int64),
+        "n_custs": out["one"].to_numpy(np.int64),
+        "total_acctbal": out["cents"].to_numpy(np.int64) / 100.0,
+    })
+
+
+def q_brands_ordered(sf_dir: str):
+    """EXISTS via the distributed semi join (functions/join.py, r5):
+    parts that appear in at least one lineitem, rolled up per brand.
+    lineitem (the big side) contributes only deduplicated keys to the
+    one exchange; part rows stream through unmodified."""
+    from .functions.join import semi_join
+    from .stages.shuffle import aggregate_rows
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_retailprice"])
+    line = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"].cast(pa.int64()),
+            "p_brand": t["p_brand"],
+            "cents": pa.array(np.round(
+                t["p_retailprice"].to_numpy() * 100.0).astype(np.int64)),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    def key_only(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["l_partkey"].cast(pa.int64())})
+
+    kept = semi_join(
+        part.map_batches(to_cents, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        line.map_batches(key_only, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        on="p_partkey", left_cols=["p_brand", "cents", "one"])
+
+    def partial_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False)[["cents", "one"]].sum()
+        return pd.DataFrame({
+            "p_brand": g["p_brand"],
+            "cents": g["cents"].astype(np.int64),
+            "one": g["one"].astype(np.int64),
+        })
+
+    out = aggregate_rows(
+        kept.map_batches(partial_rollup, batch_format="pandas"),
+        ["p_brand"], ["cents", "one"], num_buckets=4) \
+        .to_pandas().sort_values("p_brand").reset_index(drop=True)
+    return pa.table({
+        "p_brand": out["p_brand"].tolist(),
+        "n_parts": out["one"].to_numpy(np.int64),
+        "total_retail": out["cents"].to_numpy(np.int64) / 100.0,
+    })
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact duplicate groups by full text: keeper = min doc_id."""
     from ray.data.aggregate import Count, Min
@@ -3946,6 +4052,31 @@ ORDER BY o_orderpriority, rk"""
 
 ORACLE_SQL["stratified_sample"] = _stratified_sample_sql(10, 99)
 
+ORACLE_SQL["customers_no_orders"] = """
+WITH c AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS total_acctbal
+FROM c GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+ORACLE_SQL["brands_ordered"] = """
+WITH p AS (
+    SELECT p_brand,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS total_retail
+FROM p GROUP BY p_brand ORDER BY p_brand"""
+
 ORACLE_SQL["region_acctbal"] = """
 WITH s AS (
     SELECT s_nationkey,
@@ -3991,6 +4122,8 @@ _ALL_QUERIES = {
     "text_normalize": q_text_normalize,
     "revenue_by_nation": q_revenue_by_nation,
     "region_acctbal": q_region_acctbal,
+    "customers_no_orders": q_customers_no_orders,
+    "brands_ordered": q_brands_ordered,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -4069,11 +4202,12 @@ _ALL_QUERIES = {
 # multimodal_audio_stats,
 # louvain_level0, asof_join, sliding_window, tfidf, vocabulary, the
 # relational six: grouped_topk, group_quantiles, hash_sample,
-# approx_distinct, band_join, text_normalize, the join pair:
-# revenue_by_nation, region_acctbal, inverted_index,
+# approx_distinct, band_join, text_normalize, the join four:
+# revenue_by_nation, region_acctbal, customers_no_orders,
+# brands_ordered, inverted_index,
 # stratified_sample, and the window/rank four: lag_delta,
 # ntile_quartiles, global_rank, histogram — every oracle with no
-# driver row yet sits in the front window).  The 28 rotated out are
+# driver row yet sits in the front window).  The 31 rotated out are
 # ALL green CORRECTNESS_r04 driver rows.  Across rounds 4+5 every
 # oracle has a driver row.
 _ROTATE_FRONT = [
@@ -4085,6 +4219,7 @@ _ROTATE_FRONT = [
     "grouped_topk", "group_quantiles", "hash_sample",
     "approx_distinct", "band_join", "text_normalize",
     "revenue_by_nation", "region_acctbal",
+    "customers_no_orders", "brands_ordered",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -4098,6 +4233,7 @@ _ROTATE_BACK = [
     "modularity_by_nation", "scc", "closeness", "bfs_hops",
     "kmeans", "random_walks",
     "fastrp", "split_relationships", "embedding_neardup", "ann_topk",
+    "local_clustering", "char_classes", "ivf_topk",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -112,6 +112,63 @@ def bucket_join(
                                                batch_format="pandas")
 
 
+def semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    left_cols: list[str] | None = None,
+    anti: bool = False,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """EXISTS / NOT EXISTS filter: keep the left rows whose key appears
+    (semi) or does not appear (anti) in the right side. The right side
+    contributes only its KEY column, deduplicated per batch before the
+    exchange — the shuffle ships at most (#batches × #distinct keys)
+    ints no matter how wide or tall the right side is. Same
+    bucket-shuffle shape as bucket_join (one exchange, per-bucket
+    ``isin`` kernel); left rows pass through once, unmodified."""
+    lcols = list(dict.fromkeys([on] + (left_cols or [])))
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[lcols].copy()
+        df["__side"] = np.int8(0)
+        df["__bucket"] = _bucket_hash(df, [on], num_buckets)
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: pd.unique(df[on])})
+        for c in lcols:
+            if c != on:
+                out[c] = np.nan
+        out = out[lcols].copy()
+        out["__side"] = np.int8(1)
+        out["__bucket"] = _bucket_hash(out, [on], num_buckets)
+        return out
+
+    half = max(num_buckets // 2, 1)
+    both = (left.map_batches(tag_left, batch_format="pandas")
+            .repartition(half)
+            .union(right.map_batches(tag_right, batch_format="pandas")
+                   .repartition(half)))
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][lcols]
+        keys = group.loc[group["__side"] == 1, on]
+        hit = l[on].isin(set(keys))
+        return l[~hit if anti else hit]
+
+    return both.groupby("__bucket").map_groups(kernel,
+                                               batch_format="pandas")
+
+
+def anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
+              left_cols: list[str] | None = None,
+              num_buckets: int = 32) -> rd.Dataset:
+    """NOT EXISTS: left rows with no matching key on the right."""
+    return semi_join(left, right, on, left_cols=left_cols, anti=True,
+                     num_buckets=num_buckets)
+
+
 def to_arrow_sorted(ds: rd.Dataset, sort_cols: list[str]) -> pa.Table:
     """Small-result helper: collect and canonically order (tests)."""
     return pa.Table.from_pandas(

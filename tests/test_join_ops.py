@@ -6,8 +6,10 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from graph_data_science_ray.functions.join import (broadcast_join,
-                                                   bucket_join)
+from graph_data_science_ray.functions.join import (anti_join,
+                                                   broadcast_join,
+                                                   bucket_join,
+                                                   semi_join)
 
 
 def _ds(df: pd.DataFrame, blocks: int = 6) -> rd.Dataset:
@@ -59,6 +61,44 @@ def test_bucket_join_inner_matches_pandas():
     assert out["k"].tolist() == ref["k"].tolist()
     assert out["x"].tolist() == ref["x"].tolist()
     assert out["name"].tolist() == ref["name"].tolist()
+
+
+def test_semi_join_matches_pandas():
+    facts = _facts()
+    # right side with duplicate keys and keys absent from the left
+    rng = np.random.default_rng(7)
+    right = pd.DataFrame({"k": rng.integers(20, 60, 200).astype(np.int64),
+                          "junk": np.arange(200)})
+    out = (semi_join(_ds(facts), _ds(right, 4), on="k",
+                     left_cols=["x"])
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    keys = set(right["k"])
+    ref = (facts[facts["k"].isin(keys)]
+           .sort_values(["k", "x"]).reset_index(drop=True))
+    assert out["k"].astype(np.int64).tolist() == ref["k"].tolist()
+    assert out["x"].astype(np.int64).tolist() == ref["x"].tolist()
+    # semi join must not duplicate left rows on multi-match
+    assert len(out) == len(ref)
+
+
+def test_anti_join_matches_pandas():
+    facts = _facts()
+    right = pd.DataFrame({"k": np.arange(0, 25, dtype=np.int64)})
+    out = (anti_join(_ds(facts), _ds(right, 3), on="k",
+                     left_cols=["x"])
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    ref = (facts[~facts["k"].isin(set(right["k"]))]
+           .sort_values(["k", "x"]).reset_index(drop=True))
+    assert out["k"].astype(np.int64).tolist() == ref["k"].tolist()
+    assert out["x"].astype(np.int64).tolist() == ref["x"].tolist()
+
+
+def test_anti_join_empty_right_keeps_all():
+    facts = _facts(50)
+    right = pd.DataFrame({"k": np.array([], dtype=np.int64)})
+    out = anti_join(_ds(facts, 2), _ds(right, 1), on="k",
+                    left_cols=["x"]).to_pandas()
+    assert len(out) == len(facts)
 
 
 def test_bucket_join_many_to_many():
