@@ -834,6 +834,159 @@ def q_brands_ordered(sf_dir: str):
     })
 
 
+def _lineitem_cents(sf_dir: str):
+    line = _read(sf_dir, "lineitem",
+                 ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "cents": pa.array(np.round(
+                t["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)),
+        })
+
+    return line.map_batches(to_cents, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_pivot_linestatus(sf_dir: str):
+    """Cross-tab via the distributed pivot (functions/olap.py, r5):
+    one row per returnflag, one revenue column per linestatus. The
+    pivoted domain is declared up front (static schema — the only sane
+    pivot at 100 TB); per-batch conditional partial sums mean the one
+    exchange ships O(groups), not O(rows)."""
+    from .functions.olap import pivot_table
+    out = pivot_table(_lineitem_cents(sf_dir), index="l_returnflag",
+                      pivot_col="l_linestatus", value_col="cents",
+                      pivot_values=["F", "O"]).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    return pa.table({
+        "l_returnflag": out["l_returnflag"].tolist(),
+        "revenue_f": out["l_linestatus_F"].to_numpy(np.int64) / 100.0,
+        "revenue_o": out["l_linestatus_O"].to_numpy(np.int64) / 100.0,
+    })
+
+
+def q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP in ONE pass (functions/olap.py, r5): every
+    batch emits partials for all three grouping sets — (flag, status),
+    (flag), () — so the rollup costs one bounded exchange, not one
+    job per level. `lvl` = number of grouped columns."""
+    from .functions.olap import rollup_sums
+    out = rollup_sums(_lineitem_cents(sf_dir),
+                      ["l_returnflag", "l_linestatus"], "cents") \
+        .to_pandas() \
+        .sort_values(["lvl", "l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "l_returnflag": out["l_returnflag"].tolist(),
+        "l_linestatus": out["l_linestatus"].tolist(),
+        "lvl": out["lvl"].to_numpy(np.int64),
+        "n": out["n"].to_numpy(np.int64),
+        "total": out["cents"].to_numpy(np.int64) / 100.0,
+    })
+
+
+def q_priority_set_ops(sf_dir: str):
+    """SQL set operations as bucketed distributed ops
+    (functions/olap.py, r5): customers with BOTH an urgent and a low
+    order (INTERSECT) and with an urgent but no low order (EXCEPT),
+    tagged in one result. Each side deduplicates per batch before the
+    single exchange."""
+    from .functions.olap import except_distinct, intersect_distinct
+
+    def side(priority: str):
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            keep = pc.equal(t["o_orderpriority"], priority)
+            return pa.table({"o_custkey":
+                             t.filter(keep)["o_custkey"].cast(pa.int64())})
+        return orders.map_batches(f, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    frames = []
+    for op_name, fn in (("both", intersect_distinct),
+                        ("urgent_only", except_distinct)):
+        res = fn(side("1-URGENT"), side("5-LOW"),
+                 ["o_custkey"]).to_pandas()
+        res["op"] = op_name
+        frames.append(res)
+    out = (pd.concat(frames, ignore_index=True)
+           .sort_values(["op", "o_custkey"]).reset_index(drop=True))
+    return pa.table({
+        "op": out["op"].tolist(),
+        "o_custkey": out["o_custkey"].to_numpy(np.int64),
+    })
+
+
+def q_cumulative_revenue(sf_dir: str):
+    """Running SUM window per partition (functions/olap.py, r5):
+    hash-bucket by the PARTITION key so each partition lands whole in
+    one bucket, then one vectorized sort+cumsum per bucket. The order
+    key carries a unique tie-break (orderkey) so the frame is a total
+    order — RANGE == ROWS and the window is deterministic. Cents-exact
+    running sums."""
+    from .functions.olap import grouped_running_sum
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderdate", "o_orderkey",
+                    "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "cents": pa.array(np.round(
+                t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)),
+        })
+
+    out = grouped_running_sum(
+        orders.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        group_col="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        value_col="cents", out_col="run").to_pandas() \
+        .sort_values(["o_orderpriority", "o_orderkey"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "o_orderpriority": out["o_orderpriority"].tolist(),
+        "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+        "running": out["run"].to_numpy(np.int64) / 100.0,
+    })
+
+
+def q_qty_discount_corr(sf_dir: str):
+    """Exact grouped Pearson correlation (functions/olap.py, r5):
+    int64 partial moments per batch, one bounded exchange, Python-int
+    finalize — the single float expression (one division, two sqrts of
+    exact ints) is replayed bit-for-bit by the HUGEINT SQL oracle."""
+    from .functions.olap import grouped_corr
+    line = _read(sf_dir, "lineitem",
+                 ["l_returnflag", "l_quantity", "l_discount"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": pa.array(np.round(
+                t["l_quantity"].to_numpy()).astype(np.int64)),
+            "y": pa.array(np.round(
+                t["l_discount"].to_numpy() * 100.0).astype(np.int64)),
+        })
+
+    out = grouped_corr(
+        line.map_batches(to_int, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        group_col="l_returnflag", x_col="x", y_col="y")
+    return pa.table({
+        "l_returnflag": out["l_returnflag"].tolist(),
+        "n": out["n"].to_numpy(np.int64),
+        "corr": out["corr"].to_numpy(np.float64),
+    })
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact duplicate groups by full text: keeper = min doc_id."""
     from ray.data.aggregate import Count, Min
@@ -4052,6 +4205,82 @@ ORDER BY o_orderpriority, rk"""
 
 ORACLE_SQL["stratified_sample"] = _stratified_sample_sql(10, 99)
 
+ORACLE_SQL["pivot_linestatus"] = """
+WITH t AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN cents ELSE 0 END)
+            AS DOUBLE) / 100 AS revenue_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN cents ELSE 0 END)
+            AS DOUBLE) / 100 AS revenue_o
+FROM t GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+ORACLE_SQL["rollup_pricing"] = """
+WITH t AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+)
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(2 - GROUPING(l_returnflag) - GROUPING(l_linestatus)
+            AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS total
+FROM t GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag, l_linestatus"""
+
+ORACLE_SQL["priority_set_ops"] = """
+WITH u AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+     l AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '5-LOW')
+SELECT 'both' AS op, CAST(o_custkey AS BIGINT) AS o_custkey
+FROM (SELECT o_custkey FROM u INTERSECT SELECT o_custkey FROM l)
+UNION ALL
+SELECT 'urgent_only' AS op, CAST(o_custkey AS BIGINT) AS o_custkey
+FROM (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM l)
+ORDER BY op, o_custkey"""
+
+ORACLE_SQL["cumulative_revenue"] = """
+WITH t AS (
+    SELECT o_orderpriority, o_orderdate,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_orderpriority, o_orderkey,
+       CAST(SUM(cents) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_orderdate, o_orderkey)
+            AS DOUBLE) / 100 AS running
+FROM t ORDER BY o_orderpriority, o_orderkey"""
+
+ORACLE_SQL["qty_discount_corr"] = """
+WITH t AS (
+    SELECT l_returnflag,
+           CAST(ROUND(l_quantity) AS BIGINT) AS x,
+           CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+m AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(x * y) AS HUGEINT) AS sxy,
+           CAST(SUM(x * x) AS HUGEINT) AS sxx,
+           CAST(SUM(y * y) AS HUGEINT) AS syy
+    FROM t GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+FROM m ORDER BY l_returnflag"""
+
 ORACLE_SQL["customers_no_orders"] = """
 WITH c AS (
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -4124,6 +4353,11 @@ _ALL_QUERIES = {
     "region_acctbal": q_region_acctbal,
     "customers_no_orders": q_customers_no_orders,
     "brands_ordered": q_brands_ordered,
+    "pivot_linestatus": q_pivot_linestatus,
+    "rollup_pricing": q_rollup_pricing,
+    "priority_set_ops": q_priority_set_ops,
+    "cumulative_revenue": q_cumulative_revenue,
+    "qty_discount_corr": q_qty_discount_corr,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -4220,6 +4454,8 @@ _ROTATE_FRONT = [
     "approx_distinct", "band_join", "text_normalize",
     "revenue_by_nation", "region_acctbal",
     "customers_no_orders", "brands_ordered",
+    "pivot_linestatus", "rollup_pricing", "priority_set_ops",
+    "cumulative_revenue", "qty_discount_corr",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -4234,6 +4470,8 @@ _ROTATE_BACK = [
     "kmeans", "random_walks",
     "fastrp", "split_relationships", "embedding_neardup", "ann_topk",
     "local_clustering", "char_classes", "ivf_topk",
+    "co_supply_edges", "degree_centrality", "pagerank_weighted",
+    "wcc_threshold", "label_propagation_waves",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -1,0 +1,230 @@
+"""OLAP-shape relational operators: pivot, grouping sets (ROLLUP),
+set operations, grouped running windows, and exact grouped moments.
+
+Shared scale discipline (same as stages/shuffle.py): every operator
+pre-aggregates INSIDE ``map_batches`` so the one exchange ships
+O(groups × blocks) partial rows, never the input; group/bucket counts
+are explicit and bounded; money stays int64 cents until a single final
+division so the SQL oracles can be bit-exact.
+
+Reference scope note: the reference (Neo4j GDS) has no tabular OLAP
+layer — these are the brief's "large-scale training-data pipeline"
+extras, expressed Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..stages.shuffle import _bucket_hash, aggregate_rows
+
+
+def pivot_table(
+    ds: rd.Dataset,
+    index: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list,
+    num_buckets: int = 8,
+) -> rd.Dataset:
+    """Cross-tab: one output row per ``index`` value, one column per
+    entry of ``pivot_values`` holding the SUM of ``value_col``.
+
+    ``pivot_values`` is explicit because the output schema must be
+    static across blocks (and at 100 TB a pivot is only sane when the
+    pivoted domain is known and bounded). Per-batch conditional
+    partial sums → one bounded exchange; unseen pivot values raise
+    rather than silently dropping data."""
+    vset = list(dict.fromkeys(pivot_values))
+    out_cols = [f"{pivot_col}_{v}" for v in vset]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        unknown = set(df[pivot_col].unique()) - set(vset)
+        if unknown:
+            raise ValueError(f"pivot values not declared: {unknown}")
+        g = df.groupby([index, pivot_col], sort=False)[value_col].sum()
+        wide = g.unstack(pivot_col, fill_value=0)
+        for v in vset:
+            if v not in wide.columns:
+                wide[v] = 0
+        out = pd.DataFrame({index: wide.index})
+        for v, c in zip(vset, out_cols):
+            out[c] = wide[v].to_numpy(np.int64)
+        return out
+
+    return aggregate_rows(
+        ds.map_batches(partial, batch_format="pandas"),
+        [index], out_cols, num_buckets=num_buckets)
+
+
+def rollup_sums(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    sum_col: str,
+    total_label: str = "ALL",
+    num_buckets: int = 8,
+) -> rd.Dataset:
+    """GROUP BY ROLLUP(g1, g2, ...): every prefix of ``group_cols``
+    plus the grand total, in ONE pass — each batch emits its partial
+    sums for all len(group_cols)+1 grouping sets (coarser sets roll up
+    the finest partial, so the extra rows are O(groups), not O(rows)),
+    tagged with a ``lvl`` column (= number of grouped columns; rolled-up
+    string columns carry ``total_label``). One bounded exchange."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        finest = (df.groupby(group_cols, sort=False)[sum_col]
+                  .agg(["sum", "size"]).reset_index())
+        finest = finest.rename(columns={"sum": sum_col, "size": "n"})
+        frames = []
+        for lvl in range(len(group_cols), -1, -1):
+            keep = group_cols[:lvl]
+            if lvl == len(group_cols):
+                f = finest.copy()
+            elif keep:
+                f = (finest.groupby(keep, sort=False)[[sum_col, "n"]]
+                     .sum().reset_index())
+            else:
+                f = pd.DataFrame({sum_col: [finest[sum_col].sum()],
+                                  "n": [finest["n"].sum()]})
+            for c in group_cols[lvl:]:
+                f[c] = total_label
+            f["lvl"] = np.int64(lvl)
+            frames.append(f[group_cols + ["lvl", sum_col, "n"]])
+        return pd.concat(frames, ignore_index=True)
+
+    return aggregate_rows(
+        ds.map_batches(partial, batch_format="pandas"),
+        group_cols + ["lvl"], [sum_col, "n"], num_buckets=num_buckets)
+
+
+def intersect_distinct(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    cols: list[str],
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """SQL INTERSECT: distinct rows over ``cols`` present on BOTH
+    sides. Each side is deduplicated per batch before the single
+    exchange (the shuffle ships at most blocks × distinct rows)."""
+    return _set_op(left, right, cols, "intersect", num_buckets)
+
+
+def except_distinct(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    cols: list[str],
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """SQL EXCEPT: distinct rows over ``cols`` on the left side and
+    not on the right."""
+    return _set_op(left, right, cols, "except", num_buckets)
+
+
+def _set_op(left, right, cols, op, num_buckets):
+    def tag(side: int):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].drop_duplicates().copy()
+            df["__side"] = np.int8(side)
+            df["__bucket"] = _bucket_hash(df, cols, num_buckets)
+            return df
+        return add
+
+    half = max(num_buckets // 2, 1)
+    both = (left.map_batches(tag(0), batch_format="pandas")
+            .repartition(half)
+            .union(right.map_batches(tag(1), batch_format="pandas")
+                   .repartition(half)))
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        sides = group.groupby(cols, sort=False)["__side"]
+        lo, hi = sides.min(), sides.max()
+        if op == "intersect":
+            keep = (lo == 0) & (hi == 1)
+        else:
+            keep = (lo == 0) & (hi == 0)
+        return keep[keep].reset_index()[cols]
+
+    return both.groupby("__bucket").map_groups(kernel,
+                                               batch_format="pandas")
+
+
+def grouped_running_sum(
+    ds: rd.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    num_buckets: int = 8,
+) -> rd.Dataset:
+    """SUM(value) OVER (PARTITION BY group ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING): hash-bucket by group (every partition lands
+    whole in one bucket), then one vectorized sort + cumsum per
+    bucket. ``order_cols`` must be a total order within each group or
+    the frame is ambiguous — include a unique tie-break column.
+    Output rows = input rows; use int64 values (cents) for exactness."""
+    cols = [group_col] + order_cols + [value_col]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        df["__bucket"] = _bucket_hash(df, [group_col], num_buckets)
+        return df
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([group_col] + order_cols, kind="stable")
+        out = g[cols].reset_index(drop=True)
+        out[out_col] = (g.groupby(group_col, sort=False)[value_col]
+                        .cumsum().to_numpy(np.int64))
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
+def grouped_corr(
+    ds: rd.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    num_buckets: int = 4,
+) -> pd.DataFrame:
+    """Pearson correlation of two INTEGER columns per group, exact:
+    each batch emits int64 partial moments (n, Σx, Σy, Σxy, Σx², Σy²),
+    one bounded exchange sums them, and the driver finalizes the
+    handful of group rows with Python-int arithmetic (no intermediate
+    overflow) and ONE float expression —
+
+        corr = (nΣxy − ΣxΣy) / (sqrt(nΣx²−Σx²) · sqrt(nΣy²−Σy²))
+
+    with each sqrt taken on its own double so a SQL oracle can replay
+    it bit-for-bit (HUGEINT moments, same final expression). Caller
+    guarantees |moments| < 2⁶³ per batch (ints scaled to cents are
+    fine up to ~1e7 × 1e7 × rows-per-batch)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        f = pd.DataFrame({group_col: df[group_col], "n": np.int64(1),
+                          "sx": x, "sy": y, "sxy": x * y,
+                          "sxx": x * x, "syy": y * y})
+        return (f.groupby(group_col, sort=False)
+                .sum().reset_index())
+
+    mom = aggregate_rows(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col], ["n", "sx", "sy", "sxy", "sxx", "syy"],
+        num_buckets=num_buckets).to_pandas()
+
+    corr = []
+    for _, r in mom.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * int(r["sxy"]) - sx * sy
+        dxx = n * int(r["sxx"]) - sx * sx
+        dyy = n * int(r["syy"]) - sy * sy
+        corr.append(float(num) / (np.sqrt(float(dxx)) * np.sqrt(float(dyy)))
+                    if dxx > 0 and dyy > 0 else float("nan"))
+    out = mom[[group_col, "n"]].copy()
+    out["corr"] = np.array(corr, dtype=np.float64)
+    return out.sort_values(group_col).reset_index(drop=True)
