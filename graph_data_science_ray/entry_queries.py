@@ -987,6 +987,88 @@ def q_qty_discount_corr(sf_dir: str):
     })
 
 
+def q_props_by_type(sf_dir: str):
+    """Semi-structured field extraction (functions/text.py int_field,
+    r5): ONE vectorized Arrow RE2 pass pulls the integer `k` out of
+    the JSON props column — no per-row json.loads — then bounded
+    partial sums per event type. k_avg is a single division of exact
+    integers (bit-safe both sides)."""
+    from .functions.text import int_field
+    from .stages.shuffle import aggregate_rows
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    ds = int_field(ev, "props", '"k": (?P<v>\\d+)')
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["k"].agg(
+            ["size", "sum"]).reset_index()
+        return pd.DataFrame({"event_type": g["event_type"],
+                             "n": g["size"].astype(np.int64),
+                             "k_sum": g["sum"].astype(np.int64)})
+
+    out = aggregate_rows(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type"], ["n", "k_sum"], num_buckets=4) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    n = out["n"].to_numpy(np.int64)
+    s = out["k_sum"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": out["event_type"].tolist(),
+        "n": n, "k_sum": s,
+        "k_avg": s.astype(np.float64) / n.astype(np.float64),
+    })
+
+
+def q_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase
+    (functions/temporal.py funnel_counts, r5): stage k counts users
+    whose first qualifying stage-k event is at/after their first
+    qualifying stage-(k-1) event. One user-bucket shuffle; the driver
+    sees a num_buckets x 3 partial-count frame."""
+    from .functions.temporal import funnel_counts
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_counts(ev, ["view", "click", "purchase"])
+    return pa.table({
+        "stage_idx": out["stage_idx"].to_numpy(np.int64),
+        "stage": out["stage"].tolist(),
+        "n_users": out["n_users"].to_numpy(np.int64),
+    })
+
+
+def q_hourly_active(sf_dir: str):
+    """COUNT(DISTINCT user) per hour — the dedup-then-count shape:
+    distinct (hour, user) via the hash-bucketed distinct (never a
+    high-cardinality Ray groupby), then bounded per-hour partial
+    counts. Hours are exact int64 epoch-hours."""
+    from .stages.shuffle import aggregate_rows, distinct_rows
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def to_hour(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        return pa.table({
+            "h": pa.array(np.floor_divide(us, 3_600_000_000)),
+            "user_id": t["user_id"].cast(pa.int64()),
+        })
+
+    uniq = distinct_rows(
+        ev.map_batches(to_hour, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["h", "user_id"], num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False).size().reset_index(name="n")
+        return pd.DataFrame({"h": g["h"].astype(np.int64),
+                             "n": g["n"].astype(np.int64)})
+
+    out = aggregate_rows(
+        uniq.map_batches(partial, batch_format="pandas"),
+        ["h"], ["n"], num_buckets=4).to_pandas() \
+        .sort_values("h").reset_index(drop=True)
+    return pa.table({
+        "h": out["h"].to_numpy(np.int64),
+        "active_users": out["n"].to_numpy(np.int64),
+    })
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact duplicate groups by full text: keeper = min doc_id."""
     from ray.data.aggregate import Count, Min
@@ -4281,6 +4363,50 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
           * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
 FROM m ORDER BY l_returnflag"""
 
+ORACLE_SQL["props_by_type"] = r"""
+WITH t AS (
+    SELECT event_type,
+           CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS k_avg
+FROM t GROUP BY event_type ORDER BY event_type"""
+
+# funnel: t_k = MIN(ts) of stage-k events with ts >= t_{k-1}; equal
+# timestamps qualify (the kernel's >= — replayed here exactly)
+ORACLE_SQL["funnel"] = """
+WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s0 ON e.user_id = s0.user_id
+       WHERE e.event_type = 'click' AND e.ts >= s0.t
+       GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+       GROUP BY e.user_id)
+SELECT * FROM (
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+           CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+) ORDER BY stage_idx"""
+
+ORACLE_SQL["hourly_active"] = """
+WITH t AS (
+    SELECT DISTINCT
+           CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+           user_id
+    FROM events
+)
+SELECT h, CAST(COUNT(*) AS BIGINT) AS active_users
+FROM t GROUP BY h ORDER BY h"""
+
 ORACLE_SQL["customers_no_orders"] = """
 WITH c AS (
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -4358,6 +4484,9 @@ _ALL_QUERIES = {
     "priority_set_ops": q_priority_set_ops,
     "cumulative_revenue": q_cumulative_revenue,
     "qty_discount_corr": q_qty_discount_corr,
+    "props_by_type": q_props_by_type,
+    "funnel": q_funnel,
+    "hourly_active": q_hourly_active,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -4456,6 +4585,7 @@ _ROTATE_FRONT = [
     "customers_no_orders", "brands_ordered",
     "pivot_linestatus", "rollup_pricing", "priority_set_ops",
     "cumulative_revenue", "qty_discount_corr",
+    "props_by_type", "funnel", "hourly_active",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -4472,6 +4602,7 @@ _ROTATE_BACK = [
     "local_clustering", "char_classes", "ivf_topk",
     "co_supply_edges", "degree_centrality", "pagerank_weighted",
     "wcc_threshold", "label_propagation_waves",
+    "pagerank", "wcc", "triangle_count",
 ]
 _oracle_order = (
     _ROTATE_FRONT

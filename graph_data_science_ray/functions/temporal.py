@@ -215,3 +215,58 @@ def sliding_window_sum(
     return (events.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket").map_groups(kernel,
                                             batch_format="pandas"))
+
+
+def funnel_counts(
+    events: rd.Dataset,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Ordered-funnel conversion counts: stage k counts the users whose
+    first qualifying stage-k event is at/after their first qualifying
+    stage-(k-1) event (t_k = min ts of stage-k events with ts >= t_{k-1};
+    equal timestamps qualify). The classic event-analytics funnel, with
+    fully deterministic tie semantics a SQL oracle can replay.
+
+    One shuffle (hash-bucket by user — each user's history lands whole
+    in one group), then a vectorized per-bucket kernel: one groupby-min
+    plus one merge per stage, no Python loop over rows. Each bucket
+    emits len(stages) partial counts; the driver sums a
+    num_buckets x stages frame — O(1) in the input."""
+    cols = [user_col, ts_col, type_col]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["__us"] = _to_us(out.pop(ts_col))
+        out["__bucket"] = out[user_col].to_numpy() % num_buckets
+        return out
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        cur = None  # frame: user, __prev = first qualifying prev-stage ts
+        counts = []
+        for stage in stages:
+            ev = (group.loc[group[type_col] == stage,
+                            [user_col, "__us"]].reset_index(drop=True))
+            if cur is not None:
+                ev = ev.merge(cur, on=user_col)
+                ev = ev[ev["__us"] >= ev["__prev"]]
+            t = (ev.groupby(user_col, as_index=False)["__us"].min()
+                 .rename(columns={"__us": "__prev"}))
+            counts.append(len(t))
+            cur = t
+        return pd.DataFrame({
+            "stage_idx": np.arange(len(stages), dtype=np.int64),
+            "n_users": np.array(counts, dtype=np.int64),
+        })
+
+    parts = (events.map_batches(add_bucket, batch_format="pandas")
+             .groupby("__bucket")
+             .map_groups(kernel, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("stage_idx", as_index=False)["n_users"].sum()
+           .sort_values("stage_idx").reset_index(drop=True))
+    out["stage"] = [stages[i] for i in out["stage_idx"]]
+    return out[["stage_idx", "stage", "n_users"]]

@@ -286,3 +286,25 @@ def vocabulary(docs: rd.Dataset, top_k: int = 100,
     return pd.DataFrame({"token": out["token"],
                          "count": out["cnt"].to_numpy(np.int64),
                          "rank": out["rank"]})
+
+
+def int_field(ds: "rd.Dataset", col: str, pattern: str,
+              out_col: str = "k") -> "rd.Dataset":
+    """Vectorized integer-field extraction from a semi-structured
+    string column (JSON-ish props, log lines): ONE Arrow RE2
+    ``extract_regex`` pass per batch — no Python loop, no per-row json
+    parse. ``pattern`` must contain a named group ``(?P<v>\\d+)``;
+    non-matching rows become −1 (null-free sentinel, same contract as
+    the temporal operators). Output keeps all other columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[col], pattern)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        v = pc.fill_null(v, -1)
+        out = t.drop_columns([col])
+        return out.append_column(out_col, v)
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)

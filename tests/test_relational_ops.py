@@ -213,3 +213,17 @@ def test_stratified_sample_fixed_size_per_group():
     for g, sub in out.groupby("grp"):
         want = np.sort(df.loc[df["grp"] == g, "h"].to_numpy())[:7]
         assert np.array_equal(np.sort(sub["h"].to_numpy()), want)
+
+
+def test_int_field_extracts_and_sentinels():
+    import pandas as pd
+    import ray.data as rd
+    from graph_data_science_ray.functions.text import int_field
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "props": ['{"k": 42}', '{"k": 0}', 'no match here'],
+    })
+    out = (int_field(rd.from_pandas(df), "props", '"k": (?P<v>\\d+)')
+           .to_pandas().sort_values("id"))
+    assert out["k"].tolist() == [42, 0, -1]
+    assert "props" not in out.columns and "id" in out.columns

@@ -143,3 +143,53 @@ def test_sliding_window_matches_bruteforce_random():
             (ts_s <= ts_s[i])
         assert out.loc[i, "w_count"] == mask.sum()
         assert out.loc[i, "w_sum"] == round(cents[mask].sum() / 100.0, 2)
+
+
+def test_funnel_counts_ordered_semantics():
+    from graph_data_science_ray.functions.temporal import funnel_counts
+    # user 1: view@0 -> click@10 -> purchase@20  (full conversion)
+    # user 2: click@0 -> view@10 (click BEFORE first view: stage 2 no)
+    # user 3: view@5, purchase@6 but no click    (stops at stage 1)
+    # user 4: view@0, click@0 equal ts qualifies, purchase@0 too
+    # user 5: purchase only                      (never enters)
+    ids = np.arange(11)
+    ts = [0, 10, 20, 0, 10, 5, 6, 0, 0, 0, 0]
+    users = [1, 1, 1, 2, 2, 3, 3, 4, 4, 4, 5]
+    types = ["view", "click", "purchase",
+             "click", "view",
+             "view", "purchase",
+             "view", "click", "purchase",
+             "purchase"]
+    ds = _ds(ids, ts, users, event_type=types)
+    out = funnel_counts(ds, ["view", "click", "purchase"],
+                        num_buckets=3)
+    assert out["stage"].tolist() == ["view", "click", "purchase"]
+    # stage 0: users 1,2,3,4 have a view; stage 1: 1 and 4 (user 2's
+    # click precedes its first view); stage 2: 1 and 4
+    assert out["n_users"].tolist() == [4, 2, 2]
+
+
+def test_funnel_counts_vs_bruteforce_random():
+    from graph_data_science_ray.functions.temporal import funnel_counts
+    rng = np.random.default_rng(17)
+    n = 600
+    users = rng.integers(0, 40, n)
+    ts = rng.integers(0, 1000, n)
+    stages = ["view", "click", "purchase"]
+    types = rng.choice(stages, n)
+    ds = _ds(np.arange(n), ts, users, event_type=list(types))
+    out = funnel_counts(ds, stages, num_buckets=5)
+    df = pd.DataFrame({"u": users, "t": ts, "s": types})
+    expect = []
+    prev = {u: 0 for u in set(users)}
+    alive = set(users)
+    for s in stages:
+        nxt = {}
+        for u in sorted(alive):
+            q = df[(df["u"] == u) & (df["s"] == s)
+                   & (df["t"] >= prev[u])]
+            if len(q):
+                nxt[u] = q["t"].min()
+        expect.append(len(nxt))
+        prev, alive = nxt, set(nxt)
+    assert out["n_users"].tolist() == expect
