@@ -1069,6 +1069,68 @@ def q_hourly_active(sf_dir: str):
     })
 
 
+def q_name_fuzzy_pairs(sf_dir: str):
+    """Output-bounded fuzzy join (functions/fuzzy.py, r5): all
+    customer-name pairs at byte-Levenshtein distance exactly 1 via
+    symmetric-delete candidate generation — never an O(N²) compare.
+    The SQL oracle IS the naive quadratic join, so this is the one
+    query where the Ray plan is asymptotically different from its
+    oracle by design."""
+    from .functions.fuzzy import fuzzy_pairs
+    cust = _read(sf_dir, "customer", ["c_name"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t["c_name"]})
+
+    out = (fuzzy_pairs(cust.map_batches(ren, batch_format="pyarrow",
+                                        zero_copy_batch=True), "s")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    return pa.table({"a": out["a"].tolist(), "b": out["b"].tolist()})
+
+
+def q_profile_lineitem(sf_dir: str):
+    """One-pass table profile (functions/relational.py
+    profile_columns, r5): n / nulls / min / max for four numeric
+    columns in a single pruned scan — the SUMMARIZE shape. Min/max
+    pass through untouched so the comparison is exact."""
+    from .functions.relational import profile_columns
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    out = profile_columns(_read(sf_dir, "lineitem", cols), cols)
+    return pa.table({
+        "col_name": out["column"].tolist(),
+        "n": out["n"].to_numpy(np.int64),
+        "n_null": out["n_null"].to_numpy(np.int64),
+        "min_v": out["min_v"].to_numpy(np.float64),
+        "max_v": out["max_v"].to_numpy(np.float64),
+    })
+
+
+def q_supply_assortativity(sf_dir: str):
+    """Newman degree assortativity of the supplier-part bipartite
+    graph (functions/graph_stats.py, r5): exact int64 moment partials
+    over the streamed edge list, broadcast degree maps, Python-int
+    finalize — bit-replayed by the HUGEINT oracle. (The co-supply
+    projection is complete at these scales, so its assortativity is
+    degenerate — the bipartite graph has real degree variance.)"""
+    from .functions.graph_stats import degree_assortativity
+    from .stages.shuffle import distinct_rows
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t["l_suppkey"].cast(pa.int64()),
+                         "p": t["l_partkey"].cast(pa.int64())})
+
+    edges = distinct_rows(
+        line.map_batches(ren, batch_format="pyarrow",
+                         zero_copy_batch=True), ["s", "p"])
+    r = degree_assortativity(edges, "s", "p")
+    return pa.table({
+        "m2": np.array([r["m2"]], dtype=np.int64),
+        "assortativity": np.array([r["assortativity"]],
+                                  dtype=np.float64),
+    })
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact duplicate groups by full text: keeper = min doc_id."""
     from ray.data.aggregate import Count, Min
@@ -4407,6 +4469,63 @@ WITH t AS (
 SELECT h, CAST(COUNT(*) AS BIGINT) AS active_users
 FROM t GROUP BY h ORDER BY h"""
 
+ORACLE_SQL["name_fuzzy_pairs"] = """
+WITH t AS (SELECT DISTINCT c_name AS s FROM customer)
+SELECT a.s AS a, b.s AS b
+FROM t a JOIN t b ON a.s < b.s AND levenshtein(a.s, b.s) = 1
+ORDER BY a, b"""
+
+ORACLE_SQL["profile_lineitem"] = """
+SELECT * FROM (
+    SELECT 'l_discount' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(MIN(l_discount) AS DOUBLE) AS min_v,
+           CAST(MAX(l_discount) AS DOUBLE) AS max_v FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+           MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*),
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           MIN(l_quantity), MAX(l_quantity) FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*),
+           SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+           MIN(l_tax), MAX(l_tax) FROM lineitem
+) ORDER BY col_name"""
+
+ORACLE_SQL["supply_assortativity"] = """
+WITH e AS (
+    SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                    CAST(l_partkey AS BIGINT) AS p
+    FROM lineitem
+),
+ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s),
+dp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY p),
+pts AS (
+    SELECT ds.d AS x, dp.d AS y
+    FROM e JOIN ds ON ds.s = e.s JOIN dp ON dp.p = e.p
+    UNION ALL
+    SELECT dp.d AS x, ds.d AS y
+    FROM e JOIN ds ON ds.s = e.s JOIN dp ON dp.p = e.p
+),
+m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(x * y) AS HUGEINT) AS sxy,
+           CAST(SUM(x * x) AS HUGEINT) AS sxx,
+           CAST(SUM(y * y) AS HUGEINT) AS syy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS m2,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+FROM m"""
+
 ORACLE_SQL["customers_no_orders"] = """
 WITH c AS (
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -4487,6 +4606,9 @@ _ALL_QUERIES = {
     "props_by_type": q_props_by_type,
     "funnel": q_funnel,
     "hourly_active": q_hourly_active,
+    "name_fuzzy_pairs": q_name_fuzzy_pairs,
+    "profile_lineitem": q_profile_lineitem,
+    "supply_assortativity": q_supply_assortativity,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -4585,7 +4707,8 @@ _ROTATE_FRONT = [
     "customers_no_orders", "brands_ordered",
     "pivot_linestatus", "rollup_pricing", "priority_set_ops",
     "cumulative_revenue", "qty_discount_corr",
-    "props_by_type", "funnel", "hourly_active",
+    "props_by_type", "funnel", "hourly_active", "name_fuzzy_pairs",
+    "profile_lineitem", "supply_assortativity",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -4602,7 +4725,8 @@ _ROTATE_BACK = [
     "local_clustering", "char_classes", "ivf_topk",
     "co_supply_edges", "degree_centrality", "pagerank_weighted",
     "wcc_threshold", "label_propagation_waves",
-    "pagerank", "wcc", "triangle_count",
+    "pagerank", "wcc", "triangle_count", "node_similarity",
+    "knn", "near_dedup_exact",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -1,0 +1,77 @@
+"""Whole-graph scalar statistics over a streaming edge list.
+
+degree_assortativity: Newman's degree assortativity coefficient
+(Newman, "Assortative mixing in networks", PRL 89, 2002 — public) —
+the Pearson correlation of endpoint degrees over the symmetrized edge
+list (every undirected edge contributes both (d_u, d_v) and
+(d_v, d_u), the standard 2E-point formulation).
+
+Scale shape: degrees come from ONE bounded partial-bincount exchange
+(O(V) rows); the degree maps are broadcast via ``ray.put`` (dimension
+side — switch the lookup to functions/join.bucket_join past ~10⁸
+vertices); edges then stream through a single ``map_batches`` that
+emits int64 partial MOMENTS per block, so the driver folds a
+blocks × 6 frame and finalizes with Python-int arithmetic — the same
+exact-moments scheme as functions/olap.grouped_corr, replayable
+bit-for-bit by a HUGEINT SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..stages.shuffle import aggregate_rows
+
+
+def _degree_map(edges: rd.Dataset, col: str) -> pd.Series:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(col, sort=False).size().reset_index(name="d")
+        return pd.DataFrame({col: g[col].astype(np.int64),
+                             "d": g["d"].astype(np.int64)})
+
+    deg = aggregate_rows(
+        edges.map_batches(partial, batch_format="pandas"),
+        [col], ["d"], num_buckets=8).to_pandas()
+    return pd.Series(deg["d"].to_numpy(np.int64),
+                     index=deg[col].to_numpy(np.int64))
+
+
+def degree_assortativity(
+    edges: rd.Dataset,
+    src_col: str,
+    dst_col: str,
+) -> dict:
+    """Assortativity over a DISTINCT edge list (caller deduplicates).
+    Returns {"m2": #directed endpoints, "assortativity": float}. For a
+    bipartite edge list the two endpoint degree maps are kept separate
+    (src degrees from src side, dst from dst side), which is exactly
+    Newman's definition applied to the bipartite graph."""
+    dsrc_ref = ray.put(_degree_map(edges, src_col))
+    ddst_ref = ray.put(_degree_map(edges, dst_col))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        ds_map, dd_map = ray.get(dsrc_ref), ray.get(ddst_ref)
+        x = ds_map.loc[df[src_col].to_numpy(np.int64)].to_numpy(np.int64)
+        y = dd_map.loc[df[dst_col].to_numpy(np.int64)].to_numpy(np.int64)
+        # symmetrized: each edge contributes (x,y) and (y,x) — so sx
+        # and sy coincide, as do sxx/syy; keep all six for the replay
+        return pd.DataFrame({
+            "n": [np.int64(2 * len(x))],
+            "sx": [x.sum() + y.sum()], "sy": [x.sum() + y.sum()],
+            "sxy": [np.int64(2) * (x * y).sum()],
+            "sxx": [(x * x).sum() + (y * y).sum()],
+            "syy": [(x * x).sum() + (y * y).sum()],
+        })
+
+    m = (edges.map_batches(moments, batch_format="pandas")
+         .to_pandas().sum())
+    n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
+    num = n * int(m["sxy"]) - sx * sy
+    dxx = n * int(m["sxx"]) - sx * sx
+    dyy = n * int(m["syy"]) - sy * sy
+    r = (float(num) / (np.sqrt(float(dxx)) * np.sqrt(float(dyy)))
+         if dxx > 0 and dyy > 0 else float("nan"))
+    return {"m2": n, "assortativity": r}

@@ -434,3 +434,45 @@ def normalize_text(ds: rd.Dataset, id_col: str = "doc_id",
 
     return ds.map_batches(norm, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def profile_columns(ds: rd.Dataset, cols: list[str]) -> pd.DataFrame:
+    """One-pass numeric table profile: per column, row count (nulls
+    included), null count, min and max — the SUMMARIZE shape. A single
+    ``map_batches`` pass emits len(cols) partial rows per block (Arrow
+    kernels, no second scan per column); the driver folds a
+    blocks × cols frame. Min/max are passed through untouched (no
+    arithmetic), so results compare exactly against SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            col = t[c]
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            # all-null block: count it, leave min/max to other blocks
+            # (pandas groupby min/max skip NaN)
+            mins.append(float(mn) if mn is not None else np.nan)
+            maxs.append(float(mx) if mx is not None else np.nan)
+        return pd.DataFrame({
+            "column": names,
+            "n": np.asarray(ns, dtype=np.int64),
+            "n_null": np.asarray(nulls, dtype=np.int64),
+            "min_v": np.asarray(mins, dtype=np.float64),
+            "max_v": np.asarray(maxs, dtype=np.float64),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = (parts.groupby("column", as_index=False)
+           .agg(n=("n", "sum"), n_null=("n_null", "sum"),
+                min_v=("min_v", "min"), max_v=("max_v", "max"))
+           .sort_values("column").reset_index(drop=True))
+    out["n"] = out["n"].astype(np.int64)
+    out["n_null"] = out["n_null"].astype(np.int64)
+    return out

@@ -227,3 +227,37 @@ def test_int_field_extracts_and_sentinels():
            .to_pandas().sort_values("id"))
     assert out["k"].tolist() == [42, 0, -1]
     assert "props" not in out.columns and "id" in out.columns
+
+
+def test_profile_columns_with_nulls():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from graph_data_science_ray.functions.relational import \
+        profile_columns
+    df = pd.DataFrame({
+        "a": [1.0, None, 3.0, -2.0, None, 8.5],
+        "b": [None] * 6,
+    })
+    parts = [df.iloc[:3], df.iloc[3:]]
+    out = profile_columns(rd.from_pandas(parts), ["a", "b"])
+    row_a = out[out["column"] == "a"].iloc[0]
+    assert row_a["n"] == 6 and row_a["n_null"] == 2
+    assert row_a["min_v"] == -2.0 and row_a["max_v"] == 8.5
+    row_b = out[out["column"] == "b"].iloc[0]
+    assert row_b["n"] == 6 and row_b["n_null"] == 6
+    assert np.isnan(row_b["min_v"])
+
+
+def test_degree_assortativity_star_is_negative():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from graph_data_science_ray.functions.graph_stats import \
+        degree_assortativity
+    # star: hub 0 - leaves 1..10; perfect disassortativity = -1
+    edges = pd.DataFrame({"s": np.zeros(10, dtype=np.int64),
+                          "p": np.arange(1, 11, dtype=np.int64)})
+    r = degree_assortativity(rd.from_pandas(edges), "s", "p")
+    assert r["m2"] == 20
+    assert abs(r["assortativity"] - (-1.0)) < 1e-12
