@@ -27,7 +27,7 @@ import time
 
 BENCH_DIR = "/tmp/graft_bench"
 SKIP_QUERIES = {"triangle_count", "triangle_stream", "local_clustering",
-                "co_supply_edges",
+                "transitivity", "co_supply_edges",
                 "node_similarity", "node_similarity_cosine",
                 "node_similarity_bottomk", "louvain",  # superlinear on the
                 "label_propagation",  # near-complete sf0.1 co-supply graph

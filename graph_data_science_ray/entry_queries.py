@@ -162,6 +162,27 @@ def q_degree_centrality(sf_dir: str):
                      "degree": deg[suppkeys].astype(np.int64)})
 
 
+def q_transitivity(sf_dir: str):
+    """Global clustering coefficient (transitivity = 3T / wedges, r5):
+    closed-triple count from the distributed wedge-probe triangle
+    pipeline, wedge count from exact integer degree sums — ONE float
+    division of exact ints at the end, bit-replayed in SQL."""
+    from .pipelines.degree import degree_centrality
+    suppkeys, graph = _co_supply_graph(sf_dir)
+    per_node, _ = triangle_count(graph)
+    t3 = int(per_node[per_node > 0].sum())
+    d = degree_centrality(graph, orientation="natural")[
+        "score"].to_numpy().astype(np.int64)
+    wedges = int((d * (d - 1) // 2).sum())
+    return pa.table({
+        "t3": np.array([t3], dtype=np.int64),
+        "wedges": np.array([wedges], dtype=np.int64),
+        "transitivity": np.array(
+            [float(t3) / float(wedges) if wedges else 0.0],
+            dtype=np.float64),
+    })
+
+
 def q_pagerank(sf_dir: str):
     suppkeys, graph = _co_supply_graph(sf_dir)
     res = pagerank(graph, tolerance=0.0, max_iterations=20)
@@ -3599,6 +3620,21 @@ cnt AS (SELECT v, COUNT(*) AS t FROM corners GROUP BY v)
 SELECT s.s_suppkey, COALESCE(cnt.t, 0) AS triangles
 FROM supplier s LEFT JOIN cnt ON cnt.v = s.s_suppkey
 ORDER BY s.s_suppkey""",
+    "transitivity": f"""
+WITH {_CO_SUPPLY_SQL.strip()},
+tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM co_edges e1
+    JOIN co_edges e2 ON e2.src = e1.dst
+    JOIN co_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+deg AS (SELECT src AS k, COUNT(*) AS d FROM co_sym GROUP BY src),
+m AS (SELECT CAST(3 * COUNT(*) AS BIGINT) AS t3 FROM tri),
+w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg)
+SELECT m.t3, w.wedges,
+       CASE WHEN w.wedges = 0 THEN 0.0
+            ELSE CAST(m.t3 AS DOUBLE) / w.wedges END AS transitivity
+FROM m, w""",
     "local_clustering": f"""
 WITH {_CO_SUPPLY_SQL.strip()},
 tri AS (
@@ -4609,6 +4645,7 @@ _ALL_QUERIES = {
     "name_fuzzy_pairs": q_name_fuzzy_pairs,
     "profile_lineitem": q_profile_lineitem,
     "supply_assortativity": q_supply_assortativity,
+    "transitivity": q_transitivity,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -4708,7 +4745,7 @@ _ROTATE_FRONT = [
     "pivot_linestatus", "rollup_pricing", "priority_set_ops",
     "cumulative_revenue", "qty_discount_corr",
     "props_by_type", "funnel", "hourly_active", "name_fuzzy_pairs",
-    "profile_lineitem", "supply_assortativity",
+    "profile_lineitem", "supply_assortativity", "transitivity",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -4726,7 +4763,7 @@ _ROTATE_BACK = [
     "co_supply_edges", "degree_centrality", "pagerank_weighted",
     "wcc_threshold", "label_propagation_waves",
     "pagerank", "wcc", "triangle_count", "node_similarity",
-    "knn", "near_dedup_exact",
+    "knn", "near_dedup_exact", "betweenness_stars",
 ]
 _oracle_order = (
     _ROTATE_FRONT
