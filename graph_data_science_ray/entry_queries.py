@@ -1152,6 +1152,63 @@ def q_supply_assortativity(sf_dir: str):
     })
 
 
+_KCORE_K = 25
+
+
+def q_kcore(sf_dir: str):
+    """k-core (k=25) of the supplier-part bipartite graph by
+    simultaneous peeling (functions/graph_stats.py k_core_bipartite,
+    r5): rounds are deterministic and idempotent past the fixpoint, so
+    the engine early-stops while the fixed-12-round chained-CTE oracle
+    replays bit-for-bit. Output: surviving vertices per side."""
+    from .functions.graph_stats import k_core_bipartite
+    from .stages.shuffle import distinct_rows
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t["l_suppkey"].cast(pa.int64()),
+                         "p": t["l_partkey"].cast(pa.int64())})
+
+    edges = distinct_rows(
+        line.map_batches(ren, batch_format="pyarrow",
+                         zero_copy_batch=True), ["s", "p"])
+    surv = k_core_bipartite(edges, "s", "p", k=_KCORE_K).to_pandas()
+    if len(surv) == 0:
+        return pa.table({"side": pa.array([], type=pa.string()),
+                         "vid": pa.array([], type=pa.int64())})
+    ps = np.sort(surv["p"].unique().astype(np.int64))
+    ss = np.sort(surv["s"].unique().astype(np.int64))
+    return pa.table({
+        "side": ["p"] * len(ps) + ["s"] * len(ss),
+        "vid": np.concatenate([ps, ss]).astype(np.int64),
+    })
+
+
+def _kcore_sql(k: int, rounds: int = 12) -> str:
+    """Fixed-round replay of the simultaneous peeling — each round
+    references the previous edge set three times, hence MATERIALIZED
+    (the chained-CTE inlining gotcha)."""
+    parts = ["WITH e0 AS MATERIALIZED (",
+             "    SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,",
+             "                    CAST(l_partkey AS BIGINT) AS p",
+             "    FROM lineitem)"]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+e{r} AS MATERIALIZED (
+    SELECT s, p FROM e{r - 1}
+    WHERE s IN (SELECT s FROM e{r - 1} GROUP BY s
+                HAVING COUNT(*) >= {k})
+      AND p IN (SELECT p FROM e{r - 1} GROUP BY p
+                HAVING COUNT(*) >= {k})
+)""")
+    parts.append(f"""
+SELECT 'p' AS side, vid FROM (SELECT DISTINCT p AS vid FROM e{rounds})
+UNION ALL
+SELECT 's' AS side, vid FROM (SELECT DISTINCT s AS vid FROM e{rounds})
+ORDER BY side, vid""")
+    return "\n".join(parts)
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact duplicate groups by full text: keeper = min doc_id."""
     from ray.data.aggregate import Count, Min
@@ -4562,6 +4619,8 @@ SELECT CAST(n AS BIGINT) AS m2,
           * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
 FROM m"""
 
+ORACLE_SQL["kcore"] = _kcore_sql(_KCORE_K)
+
 ORACLE_SQL["customers_no_orders"] = """
 WITH c AS (
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -4646,6 +4705,7 @@ _ALL_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "supply_assortativity": q_supply_assortativity,
     "transitivity": q_transitivity,
+    "kcore": q_kcore,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -4746,6 +4806,7 @@ _ROTATE_FRONT = [
     "cumulative_revenue", "qty_discount_corr",
     "props_by_type", "funnel", "hourly_active", "name_fuzzy_pairs",
     "profile_lineitem", "supply_assortativity", "transitivity",
+    "kcore",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -4763,7 +4824,7 @@ _ROTATE_BACK = [
     "co_supply_edges", "degree_centrality", "pagerank_weighted",
     "wcc_threshold", "label_propagation_waves",
     "pagerank", "wcc", "triangle_count", "node_similarity",
-    "knn", "near_dedup_exact", "betweenness_stars",
+    "knn", "near_dedup_exact", "betweenness_stars", "minhash_dedup",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -75,3 +75,45 @@ def degree_assortativity(
     r = (float(num) / (np.sqrt(float(dxx)) * np.sqrt(float(dyy)))
          if dxx > 0 and dyy > 0 else float("nan"))
     return {"m2": n, "assortativity": r}
+
+
+def k_core_bipartite(
+    edges: rd.Dataset,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    max_rounds: int = 12,
+) -> rd.Dataset:
+    """k-core of a bipartite edge list by SIMULTANEOUS peeling: each
+    round drops every vertex (both sides at once) whose current degree
+    is < k, then keeps only edges with both endpoints surviving. The
+    simultaneous rule makes every round deterministic and rounds past
+    the fixpoint no-ops — so a fixed-round chained-CTE SQL oracle
+    replays it exactly while the engine early-stops at the fixpoint.
+
+    Per round: two bounded degree exchanges + one broadcast-filtered
+    map over the (shrinking) edge list, materialized so the next
+    round's two degree scans don't recompute the chain. Vertex
+    survivor sets are O(V) broadcasts (swap for functions/join
+    semi_join past ~10⁸ vertices)."""
+    edges = edges.materialize()
+    for _ in range(max_rounds):
+        n_before = edges.count()
+        if n_before == 0:
+            break
+        dsrc = _degree_map(edges, src_col)
+        ddst = _degree_map(edges, dst_col)
+        keep_s = ray.put(set(dsrc.index[dsrc >= k].tolist()))
+        keep_p = ray.put(set(ddst.index[ddst >= k].tolist()))
+        if (dsrc >= k).all() and (ddst >= k).all():
+            break
+
+        def keep(df: pd.DataFrame,
+                 _s=keep_s, _p=keep_p) -> pd.DataFrame:
+            ks, kp = ray.get(_s), ray.get(_p)
+            m = df[src_col].isin(ks) & df[dst_col].isin(kp)
+            return df[m]
+
+        edges = edges.map_batches(keep,
+                                  batch_format="pandas").materialize()
+    return edges

@@ -261,3 +261,33 @@ def test_degree_assortativity_star_is_negative():
     r = degree_assortativity(rd.from_pandas(edges), "s", "p")
     assert r["m2"] == 20
     assert abs(r["assortativity"] - (-1.0)) < 1e-12
+
+
+def test_k_core_bipartite_cascade():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from graph_data_science_ray.functions.graph_stats import \
+        k_core_bipartite
+    # K(2,2) between s{0,1} x p{0,1} survives k=2; s2/p2 pendant
+    # chain peels in a cascade: p2 (deg 1) drops first, then s2
+    # (deg 2 -> 1 after losing p2)
+    edges = pd.DataFrame({
+        "s": [0, 0, 1, 1, 2, 2],
+        "p": [0, 1, 0, 1, 0, 2],
+    })
+    surv = (k_core_bipartite(rd.from_pandas(edges), "s", "p", k=2)
+            .to_pandas().sort_values(["s", "p"]).reset_index(drop=True))
+    assert sorted(surv["s"].unique()) == [0, 1]
+    assert sorted(surv["p"].unique()) == [0, 1]
+    assert len(surv) == 4
+
+
+def test_k_core_bipartite_all_peeled():
+    import pandas as pd
+    import ray.data as rd
+    from graph_data_science_ray.functions.graph_stats import \
+        k_core_bipartite
+    edges = pd.DataFrame({"s": [0, 1, 2], "p": [0, 1, 2]})
+    surv = k_core_bipartite(rd.from_pandas(edges), "s", "p", k=2)
+    assert surv.count() == 0
