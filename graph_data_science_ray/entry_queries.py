@@ -1065,10 +1065,13 @@ def q_hourly_active(sf_dir: str):
 
     def to_hour(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
-        return pa.table({
-            "h": pa.array(np.floor_divide(us, 3_600_000_000)),
-            "user_id": t["user_id"].cast(pa.int64()),
-        })
+        # pre-dedup per batch: the exchange ships at most
+        # blocks x distinct-(h,user), not one row per event
+        out = pd.DataFrame({
+            "h": np.floor_divide(us, 3_600_000_000),
+            "user_id": t["user_id"].cast(pa.int64()).to_numpy(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     uniq = distinct_rows(
         ev.map_batches(to_hour, batch_format="pyarrow",

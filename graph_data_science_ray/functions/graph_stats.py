@@ -48,7 +48,13 @@ def degree_assortativity(
     Returns {"m2": #directed endpoints, "assortativity": float}. For a
     bipartite edge list the two endpoint degree maps are kept separate
     (src degrees from src side, dst from dst side), which is exactly
-    Newman's definition applied to the bipartite graph."""
+    Newman's definition applied to the bipartite graph.
+
+    The edge list is consumed three times (two degree maps + the
+    moment pass), so it is materialized once into plasma blocks —
+    without this every consumer re-executes the upstream derivation
+    (measured 3x wall on the sf0.1 distinct-pair input)."""
+    edges = edges.materialize()
     dsrc_ref = ray.put(_degree_map(edges, src_col))
     ddst_ref = ray.put(_degree_map(edges, dst_col))
 
