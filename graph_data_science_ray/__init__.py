@@ -79,6 +79,38 @@ def __getattr__(name):
                             "global_rank_int"),
         "inverted_index": ("graph_data_science_ray.functions.text",
                            "inverted_index"),
+        "semi_join": ("graph_data_science_ray.functions.join",
+                      "semi_join"),
+        "anti_join": ("graph_data_science_ray.functions.join",
+                      "anti_join"),
+        "pivot_table": ("graph_data_science_ray.functions.olap",
+                        "pivot_table"),
+        "rollup_sums": ("graph_data_science_ray.functions.olap",
+                        "rollup_sums"),
+        "intersect_distinct": ("graph_data_science_ray.functions.olap",
+                               "intersect_distinct"),
+        "except_distinct": ("graph_data_science_ray.functions.olap",
+                            "except_distinct"),
+        "grouped_running_sum": ("graph_data_science_ray.functions.olap",
+                                "grouped_running_sum"),
+        "grouped_corr": ("graph_data_science_ray.functions.olap",
+                         "grouped_corr"),
+        "funnel_counts": ("graph_data_science_ray.functions.temporal",
+                          "funnel_counts"),
+        "int_field": ("graph_data_science_ray.functions.text",
+                      "int_field"),
+        "fuzzy_pairs": ("graph_data_science_ray.functions.fuzzy",
+                        "fuzzy_pairs"),
+        "profile_columns": ("graph_data_science_ray.functions.relational",
+                            "profile_columns"),
+        "degree_assortativity": (
+            "graph_data_science_ray.functions.graph_stats",
+            "degree_assortativity"),
+        "k_core_bipartite": (
+            "graph_data_science_ray.functions.graph_stats",
+            "k_core_bipartite"),
+        "write_partitioned": ("graph_data_science_ray.sources.sinks",
+                              "write_partitioned"),
     }
     if name in surface:
         import importlib
