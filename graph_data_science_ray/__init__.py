@@ -111,6 +111,8 @@ def __getattr__(name):
             "k_core_bipartite"),
         "write_partitioned": ("graph_data_science_ray.sources.sinks",
                               "write_partitioned"),
+        "weighted_sample": ("graph_data_science_ray.functions.relational",
+                            "weighted_sample"),
     }
     if name in surface:
         import importlib

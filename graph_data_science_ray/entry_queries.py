@@ -1158,6 +1158,62 @@ def q_supply_assortativity(sf_dir: str):
 _KCORE_K = 25
 
 
+def q_asof_join_forward(sf_dir: str):
+    """Forward as-of join (r5, functions/temporal.py direction=
+    'forward'): each click matched to the user's NEXT view at-or-after
+    it; equal timestamps resolve to the smallest view id (merge_asof
+    forward takes the first row in (ts, id) frame order)."""
+    from .functions.temporal import asof_join
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def side(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return (t.filter(pc.equal(t["event_type"], kind))
+                    .select(["event_id", "ts", "user_id"]))
+        return f
+
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    views = ev.map_batches(side("view"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = asof_join(clicks, views, direction="forward").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    return pa.table({
+        "event_id": out["event_id"].to_numpy(np.int64),
+        "right_event_id": out["right_event_id"].to_numpy(np.int64),
+        "gap_us": out["gap_us"].to_numpy(np.int64),
+    })
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sample (r5,
+    functions/relational.py weighted_sample): p = min(1, price/300k$)
+    at 31-bit resolution, all-integer comparison — the SQL oracle
+    replays the EXACT sample membership."""
+    from .functions.relational import weighted_sample
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "cents": pa.array(np.round(
+                t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)),
+        })
+
+    out = weighted_sample(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key_col="o_orderkey", weight_col="cents",
+        den=30_000_000, seed=7).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    return pa.table({
+        "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+        "o_totalprice": out["cents"].to_numpy(np.int64) / 100.0,
+    })
+
+
 def q_kcore(sf_dir: str):
     """k-core (k=25) of the supplier-part bipartite graph by
     simultaneous peeling (functions/graph_stats.py k_core_bipartite,
@@ -4624,6 +4680,56 @@ FROM m"""
 
 ORACLE_SQL["kcore"] = _kcore_sql(_KCORE_K)
 
+# forward as-of: FIRST_VALUE over the following frame; (ts, is_view,
+# event_id) order puts same-ts views AFTER the click (>= inclusion)
+# and smallest view id first (the forward tie-break)
+ORACLE_SQL["asof_join_forward"] = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+views AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view'),
+uni AS (
+    SELECT user_id, ts, event_id, 1 AS is_view FROM views
+    UNION ALL
+    SELECT user_id, ts, event_id, 0 AS is_view FROM clicks
+),
+w AS (
+    SELECT user_id, ts, event_id, is_view,
+           FIRST_VALUE(CASE WHEN is_view = 1 THEN event_id END
+                       IGNORE NULLS) OVER win AS nv,
+           FIRST_VALUE(CASE WHEN is_view = 1 THEN ts END
+                       IGNORE NULLS) OVER win AS nvts
+    FROM uni
+    WINDOW win AS (PARTITION BY user_id
+                   ORDER BY ts, is_view, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id,
+       COALESCE(nv, -1) AS right_event_id,
+       COALESCE(date_diff('microseconds', ts, nvts), -1) AS gap_us
+FROM w WHERE is_view = 0 ORDER BY event_id"""
+
+
+def _weighted_sample_sql(den: int, seed: int) -> str:
+    """Replay of weighted_sample: the shared 63-bit murmur value hash
+    of o_orderkey, then the all-integer 31-bit threshold test."""
+    m = _wrapmul_sql("CAST(o_orderkey AS UBIGINT)", 0x9E3779B97F4A7C15)
+    x0 = f"CAST(((CAST({m} AS HUGEINT) + {seed}) & {_M64 - 1}) AS UBIGINT)"
+    h = f"CAST(({_mix64_sql(x0)}) >> 1 AS BIGINT)"
+    return f"""
+WITH t AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           {h} AS h
+    FROM orders
+)
+SELECT o_orderkey, CAST(cents AS DOUBLE) / 100 AS o_totalprice
+FROM t WHERE (h >> 32) * {den} < cents * 2147483648
+ORDER BY o_orderkey"""
+
+
+ORACLE_SQL["weighted_sample"] = _weighted_sample_sql(30_000_000, 7)
+
 ORACLE_SQL["customers_no_orders"] = """
 WITH c AS (
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -4709,6 +4815,8 @@ _ALL_QUERIES = {
     "supply_assortativity": q_supply_assortativity,
     "transitivity": q_transitivity,
     "kcore": q_kcore,
+    "asof_join_forward": q_asof_join_forward,
+    "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -4809,7 +4917,7 @@ _ROTATE_FRONT = [
     "cumulative_revenue", "qty_discount_corr",
     "props_by_type", "funnel", "hourly_active", "name_fuzzy_pairs",
     "profile_lineitem", "supply_assortativity", "transitivity",
-    "kcore",
+    "kcore", "asof_join_forward", "weighted_sample",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -4828,6 +4936,7 @@ _ROTATE_BACK = [
     "wcc_threshold", "label_propagation_waves",
     "pagerank", "wcc", "triangle_count", "node_similarity",
     "knn", "near_dedup_exact", "betweenness_stars", "minhash_dedup",
+    "simhash_dedup", "ngram_dedup",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -476,3 +476,33 @@ def profile_columns(ds: rd.Dataset, cols: list[str]) -> pd.DataFrame:
     out["n"] = out["n"].astype(np.int64)
     out["n_null"] = out["n_null"].astype(np.int64)
     return out
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    den: int,
+    seed: int = 7,
+) -> rd.Dataset:
+    """Deterministic WEIGHTED Bernoulli sample: row kept with
+    probability min(1, w/den) at 31-bit resolution — keep iff
+
+        (h63(key) >> 32) * den  <  w << 31
+
+    where h63 is the shared 63-bit murmur value hash. All-integer
+    comparison (int64-safe for w, den < 2^31), so a SQL oracle replays
+    the EXACT sample; a pure map — no shuffle, no RNG state, identical
+    on any partitioning, trivially resumable. Weights are int64
+    (cents-scale for money)."""
+    if not (0 < den < 2**31):
+        raise ValueError("den must be a positive int < 2^31")
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _value_hash63(t[key_col].to_numpy().astype(np.int64), seed)
+        w = t[weight_col].to_numpy().astype(np.int64)
+        mask = (h >> np.int64(32)) * np.int64(den) < (w << np.int64(31))
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

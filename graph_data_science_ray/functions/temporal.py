@@ -44,15 +44,25 @@ def asof_join(
     right_id: str = "event_id",
     left_keep: tuple[str, ...] = ("event_id",),
     num_buckets: int = 16,
+    direction: str = "backward",
 ) -> rd.Dataset:
-    """Backward as-of join: each left row matched to the most recent
-    right row (right.on <= left.on, same `by` key). Output columns:
-    *left_keep, ``right_<right_id>`` (−1 when no prior right row) and
-    ``gap_us`` (−1 likewise) — integer sentinels keep the schema
-    null-free for exact hashing.
+    """As-of join: each left row matched to the most recent right row
+    (``backward``: right.on <= left.on) or the next upcoming one
+    (``forward``: right.on >= left.on), same `by` key. Output columns:
+    *left_keep, ``right_<right_id>`` (−1 when no match) and ``gap_us``
+    (−1 likewise; always >= 0 when matched) — integer sentinels keep
+    the schema null-free for exact hashing.
+
+    Tie contract (what the SQL oracles replay): exact-timestamp
+    matches are included in both directions; equal-timestamp peers
+    resolve to the LARGEST right id backward (merge_asof takes the
+    last row in (on, rid) frame order) and the SMALLEST right id
+    forward (first row in frame order).
 
     One shuffle (bucket by `by`), then pd.merge_asof per group — the
     sort and binary search are C-vectorized."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
     lcols = list(dict.fromkeys(list(left_keep) + [by, on]))
 
     def tag(side: int, cols):
@@ -91,7 +101,7 @@ def asof_join(
             rf = rf.sort_values(["__on", "__rid"],
                                 kind="stable").reset_index(drop=True)
             m = pd.merge_asof(lf, rf, on="__on", by="__by",
-                              direction="backward")
+                              direction=direction)
             rid = m["__rid"].to_numpy(dtype=np.float64, na_value=-1)
             ron = m["__ron"].to_numpy(dtype=np.float64, na_value=-1)
         else:
@@ -101,9 +111,11 @@ def asof_join(
         matched = rid >= 0
         out = {c: m[c].to_numpy() for c in left_keep}
         out[f"right_{right_id}"] = rid.astype(np.int64)
-        out["gap_us"] = np.where(
-            matched, m["__on"].to_numpy() - ron.astype(np.int64),
-            np.int64(-1)).astype(np.int64)
+        lon = m["__on"].to_numpy()
+        gap = (lon - ron.astype(np.int64) if direction == "backward"
+               else ron.astype(np.int64) - lon)
+        out["gap_us"] = np.where(matched, gap,
+                                 np.int64(-1)).astype(np.int64)
         return pd.DataFrame(out)
 
     return both.groupby("__bucket").map_groups(kernel,

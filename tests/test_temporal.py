@@ -193,3 +193,15 @@ def test_funnel_counts_vs_bruteforce_random():
         expect.append(len(nxt))
         prev, alive = nxt, set(nxt)
     assert out["n_users"].tolist() == expect
+
+
+def test_asof_join_forward_with_ties():
+    # user 1: clicks at t=50,100,200; views at 0, 100 (ids 11,12 —
+    # equal ts: SMALLEST id wins forward), 300
+    # user 2: click at t=600 with no later view -> sentinel -1
+    left = _ds([1, 2, 3, 4], [50, 100, 200, 600], [1, 1, 1, 2])
+    right = _ds([10, 11, 12, 13], [0, 100, 100, 300], [1, 1, 1, 1])
+    out = (asof_join(left, right, direction="forward").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["right_event_id"].tolist() == [11, 11, 13, -1]
+    assert out["gap_us"].tolist() == [50_000_000, 0, 100_000_000, -1]
