@@ -113,6 +113,8 @@ def __getattr__(name):
                               "write_partitioned"),
         "weighted_sample": ("graph_data_science_ray.functions.relational",
                             "weighted_sample"),
+        "table_diff": ("graph_data_science_ray.functions.olap",
+                       "table_diff"),
     }
     if name in surface:
         import importlib

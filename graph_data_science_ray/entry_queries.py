@@ -1155,6 +1155,36 @@ def q_supply_assortativity(sf_dir: str):
     })
 
 
+def q_orders_diff(sf_dir: str):
+    """Snapshot diff (functions/olap.py table_diff, r5): two
+    deterministic views of orders — old drops keys % 7 == 0, new drops
+    keys % 5 == 0 and bumps price one cent for keys % 3 == 0 — diffed
+    by key in one bucket exchange; output bounded by the churn."""
+    from .functions.olap import table_diff
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def snap(drop_mod: int, bump3: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].cast(pa.int64()).to_numpy()
+            c = np.round(t["o_totalprice"].to_numpy()
+                         * 100.0).astype(np.int64)
+            if bump3:
+                c = c + (k % 3 == 0)
+            keep = k % drop_mod != 0
+            return pa.table({"o_orderkey": k[keep], "cents": c[keep]})
+        return orders.map_batches(f, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    out = (table_diff(snap(7, False), snap(5, True),
+                      key="o_orderkey", cmp_cols=["cents"])
+           .to_pandas().sort_values("o_orderkey")
+           .reset_index(drop=True))
+    return pa.table({
+        "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+        "change": out["change"].tolist(),
+    })
+
+
 _KCORE_K = 25
 
 
@@ -4678,6 +4708,26 @@ SELECT CAST(n AS BIGINT) AS m2,
           * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
 FROM m"""
 
+ORACLE_SQL["orders_diff"] = """
+WITH o AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders WHERE o_orderkey % 7 <> 0
+),
+n AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS c
+    FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM o FULL OUTER JOIN n ON n.k = o.k
+WHERE o.k IS NULL OR n.k IS NULL OR o.c <> n.c
+ORDER BY o_orderkey"""
+
 ORACLE_SQL["kcore"] = _kcore_sql(_KCORE_K)
 
 # forward as-of: FIRST_VALUE over the following frame; (ts, is_view,
@@ -4817,6 +4867,7 @@ _ALL_QUERIES = {
     "kcore": q_kcore,
     "asof_join_forward": q_asof_join_forward,
     "weighted_sample": q_weighted_sample,
+    "orders_diff": q_orders_diff,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -4917,7 +4968,7 @@ _ROTATE_FRONT = [
     "cumulative_revenue", "qty_discount_corr",
     "props_by_type", "funnel", "hourly_active", "name_fuzzy_pairs",
     "profile_lineitem", "supply_assortativity", "transitivity",
-    "kcore", "asof_join_forward", "weighted_sample",
+    "kcore", "asof_join_forward", "weighted_sample", "orders_diff",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -4936,7 +4987,7 @@ _ROTATE_BACK = [
     "wcc_threshold", "label_propagation_waves",
     "pagerank", "wcc", "triangle_count", "node_similarity",
     "knn", "near_dedup_exact", "betweenness_stars", "minhash_dedup",
-    "simhash_dedup", "ngram_dedup",
+    "simhash_dedup", "ngram_dedup", "lang_id",
 ]
 _oracle_order = (
     _ROTATE_FRONT

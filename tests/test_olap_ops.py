@@ -125,3 +125,27 @@ def test_grouped_corr_matches_numpy():
         ref = np.corrcoef(sub["x"], sub["y"])[0, 1]
         assert abs(row["corr"] - ref) < 1e-12
         assert row["n"] == len(sub)
+
+
+def test_table_diff_matches_pandas():
+    from graph_data_science_ray.functions.olap import table_diff
+    rng = np.random.default_rng(9)
+    old = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                        "v": rng.integers(0, 5, 100).astype(np.int64)})
+    new = old[old["k"] % 4 != 0].copy()          # removed: k%4==0
+    new.loc[new["k"] % 3 == 0, "v"] += 10        # changed: k%3==0
+    extra = pd.DataFrame({"k": np.arange(100, 110, dtype=np.int64),
+                          "v": np.ones(10, dtype=np.int64)})
+    new = pd.concat([new, extra], ignore_index=True)
+    out = (table_diff(_ds(old), _ds(new, 3), key="k", cmp_cols=["v"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = {}
+    for k in range(100):
+        if k % 4 == 0:
+            want[k] = "removed"
+        elif k % 3 == 0:
+            want[k] = "changed"
+    for k in range(100, 110):
+        want[k] = "added"
+    got = dict(zip(out["k"].astype(int), out["change"]))
+    assert got == want
