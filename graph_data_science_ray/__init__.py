@@ -115,6 +115,8 @@ def __getattr__(name):
                             "weighted_sample"),
         "table_diff": ("graph_data_science_ray.functions.olap",
                        "table_diff"),
+        "integer_islands": ("graph_data_science_ray.functions.relational",
+                            "integer_islands"),
     }
     if name in surface:
         import importlib

@@ -1185,6 +1185,29 @@ def q_orders_diff(sf_dir: str):
     })
 
 
+def q_key_islands(sf_dir: str):
+    """Gaps-and-islands (functions/relational.py integer_islands, r5)
+    over the orderkeys NOT divisible by 7 (planted gaps): maximal
+    consecutive runs via RANGE bucketing — islands are bucket-local
+    except at bucket edges, driver merges O(buckets) boundary rows.
+    Oracle is the classic v - ROW_NUMBER() grouping."""
+    from .functions.relational import integer_islands
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].cast(pa.int64()).to_numpy()
+        return pa.table({"k": k[k % 7 != 0]})
+
+    out = integer_islands(
+        orders.map_batches(f, batch_format="pyarrow",
+                           zero_copy_batch=True), "k")
+    return pa.table({
+        "island_start": out["island_start"].to_numpy(np.int64),
+        "island_end": out["island_end"].to_numpy(np.int64),
+        "n": out["n"].to_numpy(np.int64),
+    })
+
+
 _KCORE_K = 25
 
 
@@ -4708,6 +4731,16 @@ SELECT CAST(n AS BIGINT) AS m2,
           * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
 FROM m"""
 
+ORACLE_SQL["key_islands"] = """
+WITH k AS (
+    SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS v FROM orders
+    WHERE o_orderkey % 7 <> 0
+),
+g AS (SELECT v, v - ROW_NUMBER() OVER (ORDER BY v) AS grp FROM k)
+SELECT MIN(v) AS island_start, MAX(v) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY grp ORDER BY island_start"""
+
 ORACLE_SQL["orders_diff"] = """
 WITH o AS (
     SELECT CAST(o_orderkey AS BIGINT) AS k,
@@ -4868,6 +4901,7 @@ _ALL_QUERIES = {
     "asof_join_forward": q_asof_join_forward,
     "weighted_sample": q_weighted_sample,
     "orders_diff": q_orders_diff,
+    "key_islands": q_key_islands,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -4969,6 +5003,7 @@ _ROTATE_FRONT = [
     "props_by_type", "funnel", "hourly_active", "name_fuzzy_pairs",
     "profile_lineitem", "supply_assortativity", "transitivity",
     "kcore", "asof_join_forward", "weighted_sample", "orders_diff",
+    "key_islands",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -4987,7 +5022,7 @@ _ROTATE_BACK = [
     "wcc_threshold", "label_propagation_waves",
     "pagerank", "wcc", "triangle_count", "node_similarity",
     "knn", "near_dedup_exact", "betweenness_stars", "minhash_dedup",
-    "simhash_dedup", "ngram_dedup", "lang_id",
+    "simhash_dedup", "ngram_dedup", "lang_id", "token_counts",
 ]
 _oracle_order = (
     _ROTATE_FRONT

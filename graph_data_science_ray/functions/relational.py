@@ -506,3 +506,74 @@ def weighted_sample(
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def integer_islands(
+    ds: rd.Dataset,
+    col: str,
+    num_buckets: int = 32,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> pd.DataFrame:
+    """Gaps-and-islands over the DISTINCT values of an integer column:
+    maximal runs of consecutive integers, as (island_start, island_end,
+    n) rows. The distributed trick is RANGE bucketing (value // width)
+    instead of hash bucketing — each bucket owns a contiguous key
+    range, so islands are bucket-local except where they touch a
+    bucket edge, and the driver only merges the O(num_buckets)
+    boundary islands. Output size = number of islands (the answer),
+    never the input."""
+    if lo is None or hi is None:
+        import pyarrow.compute as pc
+
+        def mm(t) -> pd.DataFrame:
+            s = pc.min_max(t[col])
+            return pd.DataFrame({"lo": [s["min"].as_py()],
+                                 "hi": [s["max"].as_py()]})
+
+        b = ds.map_batches(mm, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+        if len(b) == 0 or b["lo"].isna().all():
+            return pd.DataFrame({"island_start": [], "island_end": [],
+                                 "n": []}).astype(np.int64)
+        lo, hi = int(b["lo"].min()), int(b["hi"].max())
+    width = max(1, (hi - lo) // num_buckets + 1)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({col: df[col].astype(np.int64)})
+        out["__bucket"] = (out[col].to_numpy() - lo) // width
+        return out
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(group[col].to_numpy(np.int64))
+        if len(v) == 0:
+            return pd.DataFrame({"island_start": [], "island_end": []}) \
+                .astype(np.int64)
+        starts = np.r_[True, np.diff(v) > 1]
+        s = v[starts]
+        e = v[np.r_[starts[1:], True]]
+        return pd.DataFrame({"island_start": s, "island_end": e})
+
+    parts = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("__bucket")
+             .map_groups(kernel, batch_format="pandas")
+             .to_pandas().sort_values("island_start")
+             .reset_index(drop=True))
+    # merge islands that meet exactly at bucket boundaries
+    s = parts["island_start"].to_numpy(np.int64)
+    e = parts["island_end"].to_numpy(np.int64)
+    if len(s):
+        new_run = np.r_[True, s[1:] > e[:-1] + 1]
+        grp = np.cumsum(new_run) - 1
+        out = pd.DataFrame({"island_start": s, "island_end": e,
+                            "grp": grp})
+        out = out.groupby("grp", as_index=False).agg(
+            island_start=("island_start", "min"),
+            island_end=("island_end", "max"))[["island_start",
+                                               "island_end"]]
+    else:
+        out = parts
+    out = out.reset_index(drop=True)
+    out["n"] = (out["island_end"] - out["island_start"] + 1) \
+        .astype(np.int64)
+    return out

@@ -291,3 +291,40 @@ def test_k_core_bipartite_all_peeled():
     edges = pd.DataFrame({"s": [0, 1, 2], "p": [0, 1, 2]})
     surv = k_core_bipartite(rd.from_pandas(edges), "s", "p", k=2)
     assert surv.count() == 0
+
+
+def test_integer_islands_merges_bucket_boundaries():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from graph_data_science_ray.functions.relational import \
+        integer_islands
+    # one giant island 0..999 plus two singletons; many buckets force
+    # the giant island to span every bucket edge (driver merge path)
+    vals = np.concatenate([np.arange(1000), [2000], [3000],
+                           np.arange(500)])  # dupes must not matter
+    df = pd.DataFrame({"k": vals.astype(np.int64)})
+    parts = [d for _, d in df.groupby(np.arange(len(df)) % 6)]
+    out = integer_islands(rd.from_pandas(parts), "k", num_buckets=16)
+    assert out["island_start"].tolist() == [0, 2000, 3000]
+    assert out["island_end"].tolist() == [999, 2000, 3000]
+    assert out["n"].tolist() == [1000, 1, 1]
+
+
+def test_integer_islands_gaps():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from graph_data_science_ray.functions.relational import \
+        integer_islands
+    rng = np.random.default_rng(2)
+    vals = np.unique(rng.integers(0, 300, 150)).astype(np.int64)
+    df = pd.DataFrame({"k": rng.permutation(vals)})
+    parts = [d for _, d in df.groupby(np.arange(len(df)) % 4)]
+    out = integer_islands(rd.from_pandas(parts), "k", num_buckets=8)
+    # reference islands
+    s = np.r_[True, np.diff(vals) > 1]
+    starts = vals[s]
+    ends = vals[np.r_[s[1:], True]]
+    assert out["island_start"].tolist() == starts.tolist()
+    assert out["island_end"].tolist() == ends.tolist()
