@@ -91,8 +91,15 @@ def bucket_join(
     # compact EACH side before the union: Ray's sort-based groupby keys
     # its shuffle fan-out to the INPUT block count, and a union of two
     # many-block reads is the worst case (same measured gotcha as
-    # pipelines/walks.py:392 — 37.7 s -> ~3 s on a 300-block union)
-    half = max(num_buckets // 2, 1)
+    # pipelines/walks.py:392 — 37.7 s -> ~3 s on a 300-block union).
+    # The compaction block count is CAPPED independently of
+    # num_buckets — repartition is its own exchange, and at 20M rows a
+    # repartition(512) per side cost 46-200 s while repartition(32)
+    # with the same bucket count ran in ~5 s (r5 probe measurement).
+    # Meanwhile num_buckets should be SEVERAL × the target parallelism
+    # so each sort-reduce task carries ~one bucket (64 dense buckets
+    # gave a 1.25M-row straggler reduce task; 256+ spread evenly).
+    half = min(max(num_buckets // 2, 1), 64)
     both = (left.map_batches(tag(0, lcols), batch_format="pandas")
             .repartition(half)
             .union(right.map_batches(tag(1, rcols),
@@ -145,7 +152,7 @@ def semi_join(
         out["__bucket"] = _bucket_hash(out, [on], num_buckets)
         return out
 
-    half = max(num_buckets // 2, 1)
+    half = min(max(num_buckets // 2, 1), 64)  # see bucket_join note
     both = (left.map_batches(tag_left, batch_format="pandas")
             .repartition(half)
             .union(right.map_batches(tag_right, batch_format="pandas")

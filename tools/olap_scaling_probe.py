@@ -39,7 +39,7 @@ def log(msg: str) -> None:
 
 
 def _dataset_dir(n_rows: int, n_dim: int) -> str:
-    return os.path.join(BENCH_DIR, f"olap_scale_f{n_rows}_d{n_dim}")
+    return os.path.join(BENCH_DIR, f"olap_scale_v2_f{n_rows}_d{n_dim}")
 
 
 def _build(n_rows: int, n_dim: int) -> str:
@@ -63,7 +63,9 @@ def _build(n_rows: int, n_dim: int) -> str:
         ts = rng.permutation(per).astype(np.int64) * shards + i
         t = pa.table({
             "key": rng.integers(0, n_dim, per).astype(np.int64),
-            "grp": rng.integers(0, 16, per).astype(np.int64),
+            # >= 2x max cpu level groups, or the window stage's
+            # parallelism is capped by group count, not cpus
+            "grp": rng.integers(0, 128, per).astype(np.int64),
             "ts": ts,
             "cents": rng.integers(100, 10_000_000, per).astype(np.int64),
         })
@@ -103,11 +105,15 @@ def run_child(num_cpus: int) -> dict:
 
     # --- join pipeline ---------------------------------------------
     t0 = time.monotonic()
+    # bucket counts FIXED across cpu levels — identical work per
+    # level is what makes the efficiency ratio meaningful (same rule
+    # as bench.py's fixed P=32 graph layout)
+    # buckets >> cores (sort-reduce carries ~one bucket per task);
+    # the join's per-side compaction is capped at 64 blocks internally
     joined = bucket_join(fact(["key", "cents"]),
                          rd.read_parquet(os.path.join(path, "dim")),
                          on="key", left_cols=["cents"],
-                         right_cols=["attr"],
-                         num_buckets=max(2 * num_cpus, 16))
+                         right_cols=["attr"], num_buckets=256)
 
     def rollup(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("attr", as_index=False)["cents"].sum()
@@ -125,7 +131,7 @@ def run_child(num_cpus: int) -> dict:
     win = grouped_running_sum(fact(["grp", "ts", "cents"]),
                               group_col="grp", order_cols=["ts"],
                               value_col="cents", out_col="run",
-                              num_buckets=max(num_cpus, 8))
+                              num_buckets=1024)
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"rows": [np.int64(len(df))],
@@ -160,7 +166,7 @@ def main() -> None:
     for trial in range(trials):
         try:
             mp = subprocess.run(
-                [sys.executable, probe] + [str(c) for c in levels],
+                [sys.executable, probe, ",".join(map(str, levels))],
                 capture_output=True, text=True, timeout=300)
             membw_trials.append(json.loads(
                 mp.stdout.strip().splitlines()[-1])["runs"])
