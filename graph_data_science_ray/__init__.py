@@ -117,6 +117,10 @@ def __getattr__(name):
                        "table_diff"),
         "integer_islands": ("graph_data_science_ray.functions.relational",
                             "integer_islands"),
+        "cube_sums": ("graph_data_science_ray.functions.olap",
+                      "cube_sums"),
+        "transition_counts": ("graph_data_science_ray.functions.temporal",
+                              "transition_counts"),
     }
     if name in surface:
         import importlib

@@ -909,6 +909,42 @@ def q_rollup_pricing(sf_dir: str):
     })
 
 
+def q_cube_pricing(sf_dir: str):
+    """GROUP BY CUBE in ONE pass (functions/olap.py cube_sums, r5):
+    all four grouping sets of (returnflag, linestatus) from per-batch
+    partials; `lvl` is the grouped-column bitmask."""
+    from .functions.olap import cube_sums
+    out = cube_sums(_lineitem_cents(sf_dir),
+                    ["l_returnflag", "l_linestatus"], "cents") \
+        .to_pandas() \
+        .sort_values(["lvl", "l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "l_returnflag": out["l_returnflag"].tolist(),
+        "l_linestatus": out["l_linestatus"].tolist(),
+        "lvl": out["lvl"].to_numpy(np.int64),
+        "n": out["n"].to_numpy(np.int64),
+        "total": out["cents"].to_numpy(np.int64) / 100.0,
+    })
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order event-type transition counts (functions/temporal.py
+    transition_counts, r5): per-user streams in (ts, id) total order,
+    consecutive bigrams counted — one user-bucket shuffle, final
+    exchange ships O(types²) rows. Oracle is the LEAD window."""
+    from .functions.temporal import transition_counts
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    out = transition_counts(ev).to_pandas() \
+        .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    return pa.table({
+        "prev_type": out["prev_type"].tolist(),
+        "next_type": out["next_type"].tolist(),
+        "n": out["n"].to_numpy(np.int64),
+    })
+
+
 def q_priority_set_ops(sf_dir: str):
     """SQL set operations as bucketed distributed ops
     (functions/olap.py, r5): customers with BOTH an urgent and a low
@@ -4582,6 +4618,33 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
 FROM t GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY lvl, l_returnflag, l_linestatus"""
 
+ORACLE_SQL["cube_pricing"] = """
+WITH t AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+)
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST((1 - GROUPING(l_returnflag))
+            + 2 * (1 - GROUPING(l_linestatus)) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS total
+FROM t GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag, l_linestatus"""
+
+ORACLE_SQL["event_transitions"] = """
+WITH s AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+)
+SELECT event_type AS prev_type, nxt AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type"""
+
 ORACLE_SQL["priority_set_ops"] = """
 WITH u AS (SELECT DISTINCT o_custkey FROM orders
            WHERE o_orderpriority = '1-URGENT'),
@@ -4902,6 +4965,8 @@ _ALL_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "orders_diff": q_orders_diff,
     "key_islands": q_key_islands,
+    "cube_pricing": q_cube_pricing,
+    "event_transitions": q_event_transitions,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -5003,7 +5068,7 @@ _ROTATE_FRONT = [
     "props_by_type", "funnel", "hourly_active", "name_fuzzy_pairs",
     "profile_lineitem", "supply_assortativity", "transitivity",
     "kcore", "asof_join_forward", "weighted_sample", "orders_diff",
-    "key_islands",
+    "key_islands", "cube_pricing", "event_transitions",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -5023,6 +5088,7 @@ _ROTATE_BACK = [
     "pagerank", "wcc", "triangle_count", "node_similarity",
     "knn", "near_dedup_exact", "betweenness_stars", "minhash_dedup",
     "simhash_dedup", "ngram_dedup", "lang_id", "token_counts",
+    "quality_scores", "fingerprints",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -280,3 +280,48 @@ def table_diff(
 
     return both.groupby("__bucket").map_groups(kernel,
                                                batch_format="pandas")
+
+
+def cube_sums(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    sum_col: str,
+    total_label: str = "ALL",
+    num_buckets: int = 8,
+) -> rd.Dataset:
+    """GROUP BY CUBE(g1, g2, ...): all 2^k grouping sets in ONE pass —
+    the rollup_sums trick generalized: each batch rolls its finest
+    partial up into every column subset, so the exchange ships
+    O(2^k × groups) partial rows. ``lvl`` is a bitmask (bit i set =
+    column i grouped); rolled-up string columns carry ``total_label``.
+    k is bounded by the caller (2^k grouping sets is only sane for a
+    handful of columns — raise past 6)."""
+    if len(group_cols) > 6:
+        raise ValueError("cube over >6 columns is 64+ grouping sets")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        finest = (df.groupby(group_cols, sort=False)[sum_col]
+                  .agg(["sum", "size"]).reset_index())
+        finest = finest.rename(columns={"sum": sum_col, "size": "n"})
+        frames = []
+        for mask in range(2 ** len(group_cols)):
+            keep = [c for i, c in enumerate(group_cols)
+                    if mask & (1 << i)]
+            if len(keep) == len(group_cols):
+                f = finest.copy()
+            elif keep:
+                f = (finest.groupby(keep, sort=False)[[sum_col, "n"]]
+                     .sum().reset_index())
+            else:
+                f = pd.DataFrame({sum_col: [finest[sum_col].sum()],
+                                  "n": [finest["n"].sum()]})
+            for c in group_cols:
+                if c not in keep:
+                    f[c] = total_label
+            f["lvl"] = np.int64(mask)
+            frames.append(f[group_cols + ["lvl", sum_col, "n"]])
+        return pd.concat(frames, ignore_index=True)
+
+    return aggregate_rows(
+        ds.map_batches(partial, batch_format="pandas"),
+        group_cols + ["lvl"], [sum_col, "n"], num_buckets=num_buckets)

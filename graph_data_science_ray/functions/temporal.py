@@ -282,3 +282,46 @@ def funnel_counts(
            .sort_values("stage_idx").reset_index(drop=True))
     out["stage"] = [stages[i] for i in out["stage_idx"]]
     return out[["stage_idx", "stage", "n_users"]]
+
+
+def transition_counts(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """First-order transition (Markov bigram) counts: for each user's
+    event stream in (ts, id) order — the id tie-break makes the
+    sequence a total order — count every consecutive
+    (prev_type, next_type) pair. One user-bucket shuffle, vectorized
+    sort+shift per bucket, per-bucket partial counts; the final
+    exchange ships O(types² × buckets) rows."""
+    cols = [user_col, ts_col, type_col, id_col]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["__us"] = _to_us(out.pop(ts_col))
+        out["__bucket"] = out[user_col].to_numpy() % num_buckets
+        return out
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, "__us", id_col],
+                              kind="stable")
+        users = g[user_col].to_numpy()
+        types = g[type_col].to_numpy()
+        same = users[1:] == users[:-1]
+        f = pd.DataFrame({"prev_type": types[:-1][same],
+                          "next_type": types[1:][same]})
+        out = (f.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from ..stages.shuffle import aggregate_rows
+    parts = (events.map_batches(add_bucket, batch_format="pandas")
+             .groupby("__bucket")
+             .map_groups(kernel, batch_format="pandas"))
+    return aggregate_rows(parts, ["prev_type", "next_type"], ["n"],
+                          num_buckets=4)

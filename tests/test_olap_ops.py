@@ -149,3 +149,26 @@ def test_table_diff_matches_pandas():
         want[k] = "added"
     got = dict(zip(out["k"].astype(int), out["change"]))
     assert got == want
+
+
+def test_cube_matches_pandas():
+    from graph_data_science_ray.functions.olap import cube_sums
+    df = _sales()
+    out = (cube_sums(_ds(df), ["region", "status"], "amount")
+           .to_pandas())
+    assert len(out[out["lvl"] == 0]) == 1
+    assert out[out["lvl"] == 0]["amount"].iloc[0] == df["amount"].sum()
+    # lvl=2 (bit1): status grouped only
+    l2 = out[out["lvl"] == 2].set_index("status")
+    ref = df.groupby("status")["amount"].sum()
+    for k, v in ref.items():
+        assert l2.loc[k, "amount"] == v
+        assert l2.loc[k, "region"] == "ALL"
+    # lvl=1 (bit0): region grouped only
+    l1 = out[out["lvl"] == 1].set_index("region")
+    for k, v in df.groupby("region")["amount"].sum().items():
+        assert l1.loc[k, "amount"] == v
+    # lvl=3: finest
+    l3 = out[out["lvl"] == 3].set_index(["region", "status"])
+    for k, v in df.groupby(["region", "status"])["amount"].sum().items():
+        assert l3.loc[k, "amount"] == v

@@ -205,3 +205,30 @@ def test_asof_join_forward_with_ties():
            .sort_values("event_id").reset_index(drop=True))
     assert out["right_event_id"].tolist() == [11, 11, 13, -1]
     assert out["gap_us"].tolist() == [50_000_000, 0, 100_000_000, -1]
+
+
+def test_transition_counts_matches_pandas():
+    from graph_data_science_ray.functions.temporal import \
+        transition_counts
+    rng = np.random.default_rng(23)
+    n = 400
+    users = rng.integers(0, 12, n)
+    ts = rng.integers(0, 200, n)     # deliberate ts ties -> id order
+    types = rng.choice(["a", "b", "c"], n)
+    ds = _ds(np.arange(n), ts, users, event_type=list(types))
+    out = (transition_counts(ds, num_buckets=5).to_pandas()
+           .sort_values(["prev_type", "next_type"])
+           .reset_index(drop=True))
+    df = pd.DataFrame({"u": users, "t": ts, "i": np.arange(n),
+                       "s": types}).sort_values(["u", "t", "i"])
+    prev, nxt = [], []
+    for _, g in df.groupby("u"):
+        s = g["s"].tolist()
+        prev += s[:-1]
+        nxt += s[1:]
+    ref = (pd.DataFrame({"p": prev, "n_": nxt})
+           .groupby(["p", "n_"]).size().reset_index(name="n")
+           .sort_values(["p", "n_"]).reset_index(drop=True))
+    assert out["prev_type"].tolist() == ref["p"].tolist()
+    assert out["next_type"].tolist() == ref["n_"].tolist()
+    assert out["n"].astype(np.int64).tolist() == ref["n"].tolist()
