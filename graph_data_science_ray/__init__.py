@@ -121,6 +121,8 @@ def __getattr__(name):
                       "cube_sums"),
         "transition_counts": ("graph_data_science_ray.functions.temporal",
                               "transition_counts"),
+        "training_data_prep": ("graph_data_science_ray.pipelines.prep",
+                               "training_data_prep"),
     }
     if name in surface:
         import importlib

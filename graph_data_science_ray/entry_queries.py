@@ -1244,6 +1244,22 @@ def q_key_islands(sf_dir: str):
     })
 
 
+def q_prep_funnel(sf_dir: str):
+    """End-to-end training-data prep funnel (pipelines/prep.py, r5):
+    exact dedup → quality >= 0.9 → lang_pred == 'en', each stage an
+    id-only dataset intersected by id-level semi joins. The oracle
+    chains the exact_dedup, quality_scores and lang_id replays."""
+    from .pipelines.prep import training_data_prep
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    c = training_data_prep(docs)["counts"]
+    stages = ["input", "dedup", "quality", "lang"]
+    return pa.table({
+        "stage_idx": np.arange(4, dtype=np.int64),
+        "stage": stages,
+        "n_docs": np.array([c[s] for s in stages], dtype=np.int64),
+    })
+
+
 _KCORE_K = 25
 
 
@@ -4824,6 +4840,76 @@ FROM o FULL OUTER JOIN n ON n.k = o.k
 WHERE o.k IS NULL OR n.k IS NULL OR o.c <> n.c
 ORDER BY o_orderkey"""
 
+# prep funnel: the exact_dedup (group-by-text keeper), quality_scores
+# (composite heuristic) and lang_id (stopword vote) replays chained
+# into stage counts
+ORACLE_SQL["prep_funnel"] = r"""
+WITH keep1 AS (SELECT MIN(doc_id) AS doc_id FROM documents
+               GROUP BY text),
+b AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           GREATEST(length(text), 1) AS nc,
+           regexp_extract_all(text, '[A-Za-z0-9_'']+') AS words,
+           length(regexp_replace(text, '[A-Za-z0-9_\s]', '', 'g'))
+               AS n_punct
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars, nc, n_punct,
+           GREATEST(len(words), 1) AS nw,
+           len(list_filter(words, w -> list_contains(
+               ['the','and','of','to','a','in','is','that','it','for'],
+               lower(w)))) AS n_stop,
+           CASE WHEN len(words) = 0 THEN 0.0
+                ELSE list_aggregate(list_transform(words,
+                         w -> CAST(length(w) AS DOUBLE)), 'sum')
+                     / len(words) END AS mwl
+    FROM b
+),
+q AS (
+    SELECT doc_id FROM m
+    WHERE (CASE WHEN CAST(n_punct AS DOUBLE) / nc < 0.2
+                THEN 0.25 ELSE 0.0 END
+           + CASE WHEN CAST(n_stop AS DOUBLE) / nw > 0.05
+                  THEN 0.25 ELSE 0.0 END
+           + CASE WHEN mwl BETWEEN 2.5 AND 9.0 THEN 0.25 ELSE 0.0 END
+           + CASE WHEN n_chars >= 50 THEN 0.25 ELSE 0.0 END) >= 0.9
+),
+toks AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9_'']+') AS t
+    FROM documents
+),
+langs(lang, stops) AS (VALUES
+    ('de', ['der','die','das','und','ist','nicht','ein','mit','auf','zu']),
+    ('en', ['the','and','of','to','a','in','is','that','it','for']),
+    ('es', ['el','la','los','las','y','es','un','una','en','por','que']),
+    ('fr', ['le','la','les','et','est','un','une','dans','pour','que']),
+    ('it', ['il','la','di','e','che','un','una','per','non','sono'])
+),
+hits AS (
+    SELECT doc_id, lang,
+           len(list_filter(t, x -> list_contains(stops, x))) AS h
+    FROM toks CROSS JOIN langs
+),
+ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY h DESC, lang) AS rn
+    FROM hits
+),
+l AS (SELECT doc_id FROM ranked WHERE rn = 1 AND lang = 'en'),
+s2 AS (SELECT doc_id FROM keep1 INTERSECT SELECT doc_id FROM q),
+s3 AS (SELECT doc_id FROM s2 INTERSECT SELECT doc_id FROM l)
+SELECT * FROM (
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL SELECT 1, 'dedup', (SELECT COUNT(*) FROM keep1)
+    UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM s2)
+    UNION ALL SELECT 3, 'lang', (SELECT COUNT(*) FROM s3)
+) ORDER BY stage_idx"""
+
 ORACLE_SQL["kcore"] = _kcore_sql(_KCORE_K)
 
 # forward as-of: FIRST_VALUE over the following frame; (ts, is_view,
@@ -4967,6 +5053,7 @@ _ALL_QUERIES = {
     "key_islands": q_key_islands,
     "cube_pricing": q_cube_pricing,
     "event_transitions": q_event_transitions,
+    "prep_funnel": q_prep_funnel,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -5054,7 +5141,7 @@ _ALL_QUERIES = {
 # ALL green CORRECTNESS_r04 driver rows.  Across rounds 4+5 every
 # oracle has a driver row.
 _ROTATE_FRONT = [
-    "pricing_summary", "top_customers", "graph_list",
+    "pricing_summary", "top_customers",
     "events_hourly", "sessionize", "minmax_scale", "exact_dedup",
     "multimodal_image_stats", "multimodal_png_stats",
     "multimodal_audio_stats", "louvain_level0",
@@ -5069,6 +5156,7 @@ _ROTATE_FRONT = [
     "profile_lineitem", "supply_assortativity", "transitivity",
     "kcore", "asof_join_forward", "weighted_sample", "orders_diff",
     "key_islands", "cube_pricing", "event_transitions",
+    "prep_funnel",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -5088,7 +5176,7 @@ _ROTATE_BACK = [
     "pagerank", "wcc", "triangle_count", "node_similarity",
     "knn", "near_dedup_exact", "betweenness_stars", "minhash_dedup",
     "simhash_dedup", "ngram_dedup", "lang_id", "token_counts",
-    "quality_scores", "fingerprints",
+    "quality_scores", "fingerprints", "graph_list",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -64,3 +64,24 @@ def test_resume_false_overwrites(tmp_path):
                             resume=False)
     assert sorted(res["written"]) == ["0", "1", "2"]
     assert len(_read_all(out)) == 30
+
+
+def test_training_data_prep_end_to_end(tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from graph_data_science_ray.pipelines.prep import training_data_prep
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    out = str(tmp_path / "prep")
+    r = training_data_prep(docs, out_dir=out, sample_fraction=0.8)
+    c = r["counts"]
+    assert c["input"] >= c["dedup"] >= c["quality"] >= c["lang"] \
+        >= c["sample"] > 0
+    written = pq.read_table(out)
+    assert written.num_rows == c["sample"]
+    assert set(written.column_names) >= {"doc_id", "text", "lang"}
+    # resume: second run writes nothing
+    r2 = training_data_prep(docs, out_dir=out, sample_fraction=0.8)
+    assert r2["sink"]["written"] == []
+    assert pq.read_table(out).num_rows == c["sample"]
