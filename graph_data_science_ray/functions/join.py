@@ -66,8 +66,9 @@ def bucket_join(
 ) -> rd.Dataset:
     """Hash-partitioned equi-join of two Datasets: tag each side, one
     union + bucket groupby (a single exchange), ``pd.merge`` per
-    bucket. `how` supports 'inner' and 'left'. Column sets should be
-    disjoint apart from the key (pruned via left_cols/right_cols)."""
+    bucket. `how` supports 'inner', 'left' and 'outer'. Column sets
+    should be disjoint apart from the key (pruned via
+    left_cols/right_cols)."""
     lcols = list(dict.fromkeys([on] + (left_cols or [])))
     rcols = list(dict.fromkeys([on] + (right_cols or [])))
     all_cols = lcols + [c for c in rcols if c != on]
@@ -111,9 +112,9 @@ def bucket_join(
     def kernel(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0][lcols]
         r = group[group["__side"] == 1][rcols]
-        if len(l) == 0:
+        if len(l) == 0 and how != "outer":
             return pd.DataFrame({c: [] for c in out_cols})
-        return l.merge(r, on=on, how=how)
+        return l.merge(r, on=on, how=how)[out_cols]
 
     return both.groupby("__bucket").map_groups(kernel,
                                                batch_format="pandas")

@@ -113,3 +113,15 @@ def test_bucket_join_many_to_many():
     assert out["k"].tolist() == [1, 1, 1, 1]
     assert sorted(zip(out["x"], out["y"])) == [(10, 5), (10, 6),
                                                (11, 5), (11, 6)]
+
+
+def test_bucket_join_outer_keeps_both_sides():
+    left = pd.DataFrame({"k": [1, 2], "x": [10, 20]})
+    right = pd.DataFrame({"k": [2, 3], "y": [5, 7]})
+    out = (bucket_join(_ds(left, 2), _ds(right, 2), on="k",
+                       left_cols=["x"], right_cols=["y"], how="outer")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].astype(np.int64).tolist() == [1, 2, 3]
+    assert out.loc[0, "x"] == 10 and np.isnan(out.loc[0, "y"])
+    assert out.loc[1, "x"] == 20 and out.loc[1, "y"] == 5
+    assert np.isnan(out.loc[2, "x"]) and out.loc[2, "y"] == 7
