@@ -950,7 +950,9 @@ def q_priority_set_ops(sf_dir: str):
     (functions/olap.py, r5): customers with BOTH an urgent and a low
     order (INTERSECT) and with an urgent but no low order (EXCEPT),
     tagged in one result. Each side deduplicates per batch before the
-    single exchange."""
+    single exchange; the two key datasets are materialized ONCE and
+    shared by both set ops (each op consuming a lazy side would
+    re-read + re-filter orders — four scans instead of two)."""
     from .functions.olap import except_distinct, intersect_distinct
 
     def side(priority: str):
@@ -962,13 +964,13 @@ def q_priority_set_ops(sf_dir: str):
             return pa.table({"o_custkey":
                              t.filter(keep)["o_custkey"].cast(pa.int64())})
         return orders.map_batches(f, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+                                  zero_copy_batch=True).materialize()
 
+    urgent, low = side("1-URGENT"), side("5-LOW")
     frames = []
     for op_name, fn in (("both", intersect_distinct),
                         ("urgent_only", except_distinct)):
-        res = fn(side("1-URGENT"), side("5-LOW"),
-                 ["o_custkey"]).to_pandas()
+        res = fn(urgent, low, ["o_custkey"]).to_pandas()
         res["op"] = op_name
         frames.append(res)
     out = (pd.concat(frames, ignore_index=True)
@@ -1049,13 +1051,18 @@ def q_props_by_type(sf_dir: str):
     r5): ONE vectorized Arrow RE2 pass pulls the integer `k` out of
     the JSON props column — no per-row json.loads — then bounded
     partial sums per event type. k_avg is a single division of exact
-    integers (bit-safe both sides)."""
+    integers (bit-safe both sides). Rows without a "k" field (the −1
+    sentinel) are excluded on BOTH sides — otherwise the engine would
+    silently fold sentinels into the sums while the oracle's CAST
+    errors on the empty extract (review finding; this corpus has no
+    such rows today, but corpus drift must fail loudly and equally)."""
     from .functions.text import int_field
     from .stages.shuffle import aggregate_rows
     ev = _read(sf_dir, "events", ["event_type", "props"])
     ds = int_field(ev, "props", '"k": (?P<v>\\d+)')
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["k"] >= 0]
         g = df.groupby("event_type", sort=False)["k"].agg(
             ["size", "sum"]).reset_index()
         return pd.DataFrame({"event_type": g["event_type"],
@@ -4712,8 +4719,11 @@ FROM m ORDER BY l_returnflag"""
 ORACLE_SQL["props_by_type"] = r"""
 WITH t AS (
     SELECT event_type,
-           CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+           CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '')
+                AS BIGINT) AS k
     FROM events
+    WHERE NULLIF(regexp_extract(props, '"k": (\d+)', 1), '')
+          IS NOT NULL
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,

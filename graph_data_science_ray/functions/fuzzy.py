@@ -33,7 +33,14 @@ def _byte_matrix(vals: list[bytes], length: int) -> np.ndarray:
 
 def _emit_variants(df: pd.DataFrame, col: str) -> pd.DataFrame:
     """(variant, s) rows: the string itself + every single-byte
-    deletion, vectorized per (length, position) slice."""
+    deletion, vectorized per (length, position) slice. Variants stay
+    BYTES end-to-end — deleting one byte inside a multi-byte UTF-8
+    char yields invalid UTF-8, and a str round-trip (surrogateescape)
+    poisons both the bucket hash and Arrow block conversion (found by
+    review: any non-ASCII row crashed the job)."""
+    if len(df) == 0:
+        return pd.DataFrame({"v": pd.Series(dtype=object),
+                             "s": pd.Series(dtype=object)})
     s = df[col].astype(str)
     raw = [v.encode("utf-8") for v in s]
     lens = np.fromiter((len(v) for v in raw), dtype=np.int64,
@@ -45,8 +52,7 @@ def _emit_variants(df: pd.DataFrame, col: str) -> pd.DataFrame:
         idx = np.nonzero(lens == L)[0]
         group = [raw[i] for i in idx]
         names = sarr[idx]
-        out_v.append(np.array([g.decode("utf-8", "surrogateescape")
-                               for g in group], dtype=object))
+        out_v.append(np.array(group, dtype=object))
         out_s.append(names)
         if L == 0:
             continue
@@ -54,10 +60,9 @@ def _emit_variants(df: pd.DataFrame, col: str) -> pd.DataFrame:
         for p in range(int(L)):
             cut = np.ascontiguousarray(
                 np.concatenate([mat[:, :p], mat[:, p + 1:]], axis=1))
-            var = cut.view(f"S{max(int(L) - 1, 1)}")[:, 0] \
-                if L > 1 else np.full(len(group), b"", dtype="S1")
-            out_v.append(np.array([v.decode("utf-8", "surrogateescape")
-                                   for v in var.tolist()], dtype=object))
+            var = cut.view(f"S{max(int(L) - 1, 1)}")[:, 0].tolist() \
+                if L > 1 else [b""] * len(group)
+            out_v.append(np.array(var, dtype=object))
             out_s.append(names)
     res = pd.DataFrame({"v": np.concatenate(out_v),
                         "s": np.concatenate(out_s)})

@@ -134,11 +134,22 @@ def semi_join(
     exchange — the shuffle ships at most (#batches × #distinct keys)
     ints no matter how wide or tall the right side is. Same
     bucket-shuffle shape as bucket_join (one exchange, per-bucket
-    ``isin`` kernel); left rows pass through once, unmodified."""
+    ``isin`` kernel); left rows pass through once.
+
+    Non-key left columns transit the exchange as OBJECT dtype and are
+    restored by ``infer_objects`` in the kernel: NaN-padding the right
+    side's missing columns (the bucket_join scheme) promotes int64 to
+    float64 in the shuffle concat, which silently corrupts values
+    ≥ 2^53 — the repo's 63-bit hashes/fingerprints would come back
+    off-by-a-few (found by review). Exactness over exchange width;
+    prune ``left_cols`` to what you need."""
     lcols = list(dict.fromkeys([on] + (left_cols or [])))
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df[lcols].copy()
+        for c in lcols:
+            if c != on:
+                df[c] = df[c].astype(object)
         df["__side"] = np.int8(0)
         df["__bucket"] = _bucket_hash(df, [on], num_buckets)
         return df
@@ -147,7 +158,7 @@ def semi_join(
         out = pd.DataFrame({on: pd.unique(df[on])})
         for c in lcols:
             if c != on:
-                out[c] = np.nan
+                out[c] = pd.Series([None] * len(out), dtype=object)
         out = out[lcols].copy()
         out["__side"] = np.int8(1)
         out["__bucket"] = _bucket_hash(out, [on], num_buckets)
@@ -163,7 +174,9 @@ def semi_join(
         l = group[group["__side"] == 0][lcols]
         keys = group.loc[group["__side"] == 1, on]
         hit = l[on].isin(set(keys))
-        return l[~hit if anti else hit]
+        out = l[~hit if anti else hit]
+        # object -> int64/float64 exactly (Python objects lose nothing)
+        return out.infer_objects()
 
     return both.groupby("__bucket").map_groups(kernel,
                                                batch_format="pandas")

@@ -131,7 +131,9 @@ def _set_op(left, right, cols, op, num_buckets):
             return df
         return add
 
-    half = max(num_buckets // 2, 1)
+    # compaction capped independently of num_buckets — repartition is
+    # its own exchange (see functions/join.py bucket_join measurement)
+    half = min(max(num_buckets // 2, 1), 64)
     both = (left.map_batches(tag(0), batch_format="pandas")
             .repartition(half)
             .union(right.map_batches(tag(1), batch_format="pandas")
@@ -253,7 +255,7 @@ def table_diff(
             return df
         return add
 
-    half = max(num_buckets // 2, 1)
+    half = min(max(num_buckets // 2, 1), 64)  # see _set_op note
     both = (old.map_batches(tag(0), batch_format="pandas")
             .repartition(half)
             .union(new.map_batches(tag(1), batch_format="pandas")

@@ -33,14 +33,21 @@ _DONE = "_DONE"
 
 
 def _part_dirs(path: str, col: str) -> dict[str, str]:
-    """Map raw partition-value string -> absolute directory."""
+    """Map raw partition-value string -> absolute directory. Hive dir
+    names are URI-quoted by the writer (a space becomes ``%20``), so
+    the name is UNQUOTED here — the done-set must live in raw value
+    space or the resume filter misses encoded partitions and silently
+    appends duplicate rows into finished directories (found by
+    review: 3-row input became 5 rows after a 'no-op' resume)."""
+    from urllib.parse import unquote
+
     prefix = f"{col}="
     out = {}
     if os.path.isdir(path):
         for name in os.listdir(path):
             full = os.path.join(path, name)
             if name.startswith(prefix) and os.path.isdir(full):
-                out[name[len(prefix):]] = full
+                out[unquote(name[len(prefix):])] = full
     return out
 
 

@@ -61,3 +61,23 @@ def test_fuzzy_pairs_no_matches():
     out = fuzzy_pairs(_ds(["alpha", "gamma", "epsilon"]), "s",
                       num_buckets=2).to_pandas()
     assert len(out) == 0
+
+
+def test_fuzzy_pairs_non_ascii_and_empty_blocks():
+    # multi-byte UTF-8: byte-level distance contract — 'café'/'cafe'
+    # differ by the two-byte 'é' vs one-byte 'e' (distance 2), while
+    # 'café'/'cafés' differ by one byte
+    words = ["café", "cafés", "cafe", "caf", "naïve", "naive"]
+    out = (fuzzy_pairs(_ds(words + [""], 5), "s", num_buckets=3)
+           .to_pandas())
+    got = sorted(zip(out["a"], out["b"]))
+    uniq = sorted(set(words + [""]))
+    want = sorted(
+        (a, b) for a, b in itertools.combinations(uniq, 2)
+        if _blev(a, b) == 1)
+    assert got == want
+
+
+def _blev(a: str, b: str) -> int:
+    return _lev(a.encode("utf-8").decode("latin-1"),
+                b.encode("utf-8").decode("latin-1"))

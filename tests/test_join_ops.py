@@ -125,3 +125,17 @@ def test_bucket_join_outer_keeps_both_sides():
     assert out.loc[0, "x"] == 10 and np.isnan(out.loc[0, "y"])
     assert out.loc[1, "x"] == 20 and out.loc[1, "y"] == 5
     assert np.isnan(out.loc[2, "x"]) and out.loc[2, "y"] == 7
+
+
+def test_semi_join_preserves_63bit_ints():
+    # values above 2^53: NaN-padding promotion to float64 would
+    # corrupt these (the review finding) — they must come back exact
+    big = np.array([2**62 + 1, 2**62 + 3, 2**53 + 1],
+                   dtype=np.int64)
+    left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                         "fp": big})
+    right = pd.DataFrame({"k": np.array([1, 3, 9], dtype=np.int64)})
+    out = (semi_join(_ds(left, 2), _ds(right, 2), on="k",
+                     left_cols=["fp"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["fp"].astype(np.int64).tolist() == [big[0], big[2]]

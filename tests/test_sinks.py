@@ -85,3 +85,18 @@ def test_training_data_prep_end_to_end(tmp_path):
     r2 = training_data_prep(docs, out_dir=out, sample_fraction=0.8)
     assert r2["sink"]["written"] == []
     assert pq.read_table(out).num_rows == c["sample"]
+
+
+def test_resume_with_uri_encoded_partition_values(tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    out = str(tmp_path / "enc")
+    df = pd.DataFrame({"lang": ["a b", "a b", "plain"],
+                       "x": np.arange(3, dtype=np.int64)})
+    write_partitioned(rd.from_pandas(df), out, "lang")
+    assert finished_partitions(out, "lang") == {"a b", "plain"}
+    # resume must be a true no-op — the hive dir is 'lang=a%20b'
+    res = write_partitioned(rd.from_pandas(df), out, "lang")
+    assert res["written"] == [] and sorted(res["skipped"]) == \
+        ["a b", "plain"]
+    assert pq.read_table(out).num_rows == 3

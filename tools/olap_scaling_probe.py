@@ -7,7 +7,7 @@ Input is a cached synthetic star-schema pair sized so the exchanges
 dominate fixed costs (default 20M-row fact / 2M-row dim — override
 with GRAFT_OLAP_ROWS / GRAFT_OLAP_DIM):
 
-  fact(key, grp, ts, cents)   key ~ U[0, dim), grp ~ U[0,16), ts
+  fact(key, grp, ts, cents)   key ~ U[0, dim), grp ~ U[0,128), ts
                               a shuffled permutation, cents ~ U
   dim(key, attr)              attr = key % 64
 
