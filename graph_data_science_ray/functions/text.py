@@ -67,12 +67,30 @@ class LanguageId:
                          "lang_pred": pa.array(preds)})
 
 
-def language_id(docs: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
+_LANG_ID_STATE: "LanguageId | None" = None
+
+
+def _lang_id_call(batch: pa.Table) -> pa.Table:
+    # lazily-built module state, reused across tasks by Ray's
+    # long-lived worker processes
+    global _LANG_ID_STATE
+    if _LANG_ID_STATE is None:
+        _LANG_ID_STATE = LanguageId()
+    return _LANG_ID_STATE(batch)
+
+
+def language_id(docs: rd.Dataset, concurrency=None) -> rd.Dataset:
+    """Stateless-task variant of the LanguageId stage: the state here
+    (sorted stopword arrays) is microseconds to build, so an actor
+    pool only adds process spin-up (~2 s per execution, measured in
+    bench) — the actor-pool shape is for EXPENSIVE state (models,
+    codecs: see functions/multimodal.py). ``concurrency`` caps task
+    parallelism when given; default elastic."""
     from ..stages.resources import stage_cpus
-    return docs.map_batches(LanguageId, batch_format="pyarrow",
+    kw = {} if concurrency is None else {"concurrency": concurrency}
+    return docs.map_batches(_lang_id_call, batch_format="pyarrow",
                             zero_copy_batch=True,
-                            num_cpus=stage_cpus("text"),
-                            concurrency=concurrency)
+                            num_cpus=stage_cpus("text"), **kw)
 
 
 def token_counts(docs: rd.Dataset) -> rd.Dataset:
