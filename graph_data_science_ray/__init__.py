@@ -119,6 +119,8 @@ def __getattr__(name):
                             "integer_islands"),
         "cube_sums": ("graph_data_science_ray.functions.olap",
                       "cube_sums"),
+        "grouped_moving_sum": ("graph_data_science_ray.functions.olap",
+                               "grouped_moving_sum"),
         "transition_counts": ("graph_data_science_ray.functions.temporal",
                               "transition_counts"),
         "training_data_prep": ("graph_data_science_ray.pipelines.prep",

@@ -1017,6 +1017,41 @@ def q_cumulative_revenue(sf_dir: str):
     })
 
 
+def q_moving_revenue(sf_dir: str):
+    """Bounded-ROWS moving window (functions/olap.py
+    grouped_moving_sum, r5): 7-row revenue sum per priority in
+    (date, key) total order — window sum = cumsum diff, re-baselined
+    at group starts; completes the window family (RANGE time ✓,
+    unbounded running ✓, bounded ROWS here). Cents-exact."""
+    from .functions.olap import grouped_moving_sum
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderdate", "o_orderkey",
+                    "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "cents": pa.array(np.round(
+                t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)),
+        })
+
+    out = grouped_moving_sum(
+        orders.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        group_col="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        value_col="cents", window_rows=7, out_col="mov").to_pandas() \
+        .sort_values(["o_orderpriority", "o_orderkey"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "o_orderpriority": out["o_orderpriority"].tolist(),
+        "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+        "mov7": out["mov"].to_numpy(np.int64) / 100.0,
+    })
+
+
 def q_qty_discount_corr(sf_dir: str):
     """Exact grouped Pearson correlation (functions/olap.py, r5):
     int64 partial moments per batch, one bounded exchange, Python-int
@@ -4693,6 +4728,20 @@ SELECT o_orderpriority, o_orderkey,
             AS DOUBLE) / 100 AS running
 FROM t ORDER BY o_orderpriority, o_orderkey"""
 
+ORACLE_SQL["moving_revenue"] = """
+WITH t AS (
+    SELECT o_orderpriority, o_orderdate,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_orderpriority, o_orderkey,
+       CAST(SUM(cents) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100 AS mov7
+FROM t ORDER BY o_orderpriority, o_orderkey"""
+
 ORACLE_SQL["qty_discount_corr"] = """
 WITH t AS (
     SELECT l_returnflag,
@@ -5064,6 +5113,7 @@ _ALL_QUERIES = {
     "cube_pricing": q_cube_pricing,
     "event_transitions": q_event_transitions,
     "prep_funnel": q_prep_funnel,
+    "moving_revenue": q_moving_revenue,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,
@@ -5151,7 +5201,7 @@ _ALL_QUERIES = {
 # ALL green CORRECTNESS_r04 driver rows.  Across rounds 4+5 every
 # oracle has a driver row.
 _ROTATE_FRONT = [
-    "pricing_summary", "top_customers",
+    "pricing_summary",
     "events_hourly", "sessionize", "minmax_scale", "exact_dedup",
     "multimodal_image_stats", "multimodal_png_stats",
     "multimodal_audio_stats", "louvain_level0",
@@ -5166,7 +5216,7 @@ _ROTATE_FRONT = [
     "profile_lineitem", "supply_assortativity", "transitivity",
     "kcore", "asof_join_forward", "weighted_sample", "orders_diff",
     "key_islands", "cube_pricing", "event_transitions",
-    "prep_funnel",
+    "prep_funnel", "moving_revenue",
     "inverted_index", "stratified_sample",
     "lag_delta", "ntile_quartiles", "global_rank", "histogram",
 ]
@@ -5186,7 +5236,7 @@ _ROTATE_BACK = [
     "pagerank", "wcc", "triangle_count", "node_similarity",
     "knn", "near_dedup_exact", "betweenness_stars", "minhash_dedup",
     "simhash_dedup", "ngram_dedup", "lang_id", "token_counts",
-    "quality_scores", "fingerprints", "graph_list",
+    "quality_scores", "fingerprints", "graph_list", "top_customers",
 ]
 _oracle_order = (
     _ROTATE_FRONT

@@ -327,3 +327,56 @@ def cube_sums(
     return aggregate_rows(
         ds.map_batches(partial, batch_format="pandas"),
         group_cols + ["lvl"], [sum_col, "n"], num_buckets=num_buckets)
+
+
+def grouped_moving_sum(
+    ds: rd.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int,
+    out_col: str = "moving",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """SUM(value) OVER (PARTITION BY group ORDER BY order_cols ROWS
+    BETWEEN window_rows-1 PRECEDING AND CURRENT ROW) — the bounded-ROWS
+    member of the window family (grouped_running_sum = unbounded;
+    temporal.sliding_window_sum = RANGE over event time). Same shape:
+    partition-bucket shuffle, then one vectorized sort + cumsum-diff
+    per bucket (window sum = cumsum[i] − cumsum[i−k], never a per-row
+    loop). ``order_cols`` must total-order each group; int64 values."""
+    cols = [group_col] + order_cols + [value_col]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        df["__bucket"] = _bucket_hash(df, [group_col], num_buckets)
+        return df
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([group_col] + order_cols, kind="stable")
+        out = g[cols].reset_index(drop=True)
+        v = out[value_col].to_numpy(np.int64)
+        keys = out[group_col].to_numpy()
+        cum = np.cumsum(v)
+        mov = cum.copy()
+        k = window_rows
+        if len(v) > k:
+            mov[k:] = cum[k:] - cum[:-k]
+        # re-baseline at each group boundary: position within group
+        first = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(v)) - np.repeat(starts, np.diff(
+            np.r_[starts, len(v)]))
+        # rows whose k-window would reach before the group start:
+        # subtract only back to the group's first row
+        grp_base = np.repeat(np.r_[0, cum[starts[1:] - 1]]
+                             if len(starts) > 1 else [0],
+                             np.diff(np.r_[starts, len(v)]))
+        short = pos < k
+        mov[short] = cum[short] - grp_base[short]
+        out[out_col] = mov.astype(np.int64)
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))

@@ -172,3 +172,29 @@ def test_cube_matches_pandas():
     l3 = out[out["lvl"] == 3].set_index(["region", "status"])
     for k, v in df.groupby(["region", "status"])["amount"].sum().items():
         assert l3.loc[k, "amount"] == v
+
+
+def test_moving_sum_matches_pandas_rolling():
+    from graph_data_science_ray.functions.olap import grouped_moving_sum
+    df = _sales()
+    out = (grouped_moving_sum(_ds(df), group_col="region",
+                              order_cols=["t"], value_col="amount",
+                              window_rows=5, out_col="mov")
+           .to_pandas().sort_values(["region", "t"])
+           .reset_index(drop=True))
+    ref = df.sort_values(["region", "t"]).reset_index(drop=True)
+    ref["mov"] = (ref.groupby("region")["amount"]
+                  .rolling(5, min_periods=1).sum()
+                  .reset_index(level=0, drop=True).astype(np.int64))
+    assert out["mov"].astype(np.int64).tolist() == ref["mov"].tolist()
+
+
+def test_moving_sum_window_one_is_identity():
+    from graph_data_science_ray.functions.olap import grouped_moving_sum
+    df = _sales(50)
+    out = (grouped_moving_sum(_ds(df, 3), group_col="region",
+                              order_cols=["t"], value_col="amount",
+                              window_rows=1, out_col="mov")
+           .to_pandas().sort_values(["region", "t"]))
+    assert out["mov"].astype(np.int64).tolist() == \
+        out["amount"].astype(np.int64).tolist()
