@@ -125,6 +125,8 @@ def __getattr__(name):
                               "transition_counts"),
         "training_data_prep": ("graph_data_science_ray.pipelines.prep",
                                "training_data_prep"),
+        "pca_components": ("graph_data_science_ray.functions.pca",
+                           "pca_components"),
     }
     if name in surface:
         import importlib

@@ -2236,6 +2236,21 @@ def q_knn_descent(sf_dir: str):
     return out
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed tall-skinny PCA over the embeddings table
+    (functions/pca.py, r5): per-block d×d moment partials, driver-side
+    eigh of the 64×64 covariance — rows-only (float eigensolver;
+    numpy-parity pytest gates exactness)."""
+    from .functions.pca import pca_components
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    r = pca_components(emb, k=8)
+    return pa.table({
+        "component": np.arange(8, dtype=np.int64),
+        "eigenvalue": np.round(r["eigenvalues"], 6),
+        "explained_ratio": np.round(r["explained_ratio"], 6),
+    })
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-vote language ID (heuristic — rows-only check)."""
     from .functions.text import language_id
@@ -5114,6 +5129,7 @@ _ALL_QUERIES = {
     "event_transitions": q_event_transitions,
     "prep_funnel": q_prep_funnel,
     "moving_revenue": q_moving_revenue,
+    "pca_embeddings": q_pca_embeddings,
     "inverted_index": q_inverted_index,
     "stratified_sample": q_stratified_sample,
     "lag_delta": q_lag_delta,

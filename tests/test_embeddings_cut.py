@@ -120,3 +120,40 @@ def test_node2vec_clique_structure(two_cliques):
     emb2 = np.stack(df2.sort_values("vid")["emb"].to_numpy())
     assert np.allclose(np.stack(df.sort_values("vid")["emb"].to_numpy()),
                        emb2)
+
+
+def test_pca_matches_numpy_on_embeddings():
+    import numpy as np
+    import ray.data as rd
+    from graph_data_science_ray.functions.pca import pca_components
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["embedding"])
+    r = pca_components(ds, k=5)
+    X = np.vstack(ds.to_pandas()["embedding"].to_numpy()).astype(
+        np.float64)
+    Xc = X - X.mean(axis=0)
+    ref = np.linalg.eigvalsh(Xc.T @ Xc / (len(X) - 1))[::-1][:5]
+    assert np.allclose(r["eigenvalues"], ref, atol=1e-8)
+    assert r["n"] == len(X)
+    # components are unit-norm and orthogonal
+    C = r["components"]
+    assert np.allclose(C @ C.T, np.eye(5), atol=1e-8)
+
+
+def test_pca_recovers_planted_axis():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from graph_data_science_ray.functions.pca import pca_components
+    rng = np.random.default_rng(4)
+    axis = np.zeros(16)
+    axis[3] = 1.0
+    X = (rng.normal(0, 10, (600, 1)) * axis
+         + rng.normal(0, 0.1, (600, 16)))
+    df = pd.DataFrame({"embedding": list(X.astype(np.float32))})
+    parts = [d for _, d in df.groupby(np.arange(len(df)) % 5)]
+    r = pca_components(rd.from_pandas(parts), k=2)
+    top = r["components"][0]
+    assert abs(top[3]) > 0.99           # planted axis recovered
+    assert top[3] > 0                    # deterministic sign
+    assert r["explained_ratio"][0] > 0.9
