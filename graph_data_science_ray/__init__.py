@@ -127,6 +127,8 @@ def __getattr__(name):
                                "training_data_prep"),
         "pca_components": ("graph_data_science_ray.functions.pca",
                            "pca_components"),
+        "pca_transform": ("graph_data_science_ray.functions.pca",
+                          "pca_transform"),
     }
     if name in surface:
         import importlib

@@ -67,3 +67,35 @@ def pca_components(
     return {"n": n, "eigenvalues": evals,
             "explained_ratio": evals / total if total > 0 else evals,
             "components": comps}
+
+
+def pca_transform(
+    ds: rd.Dataset,
+    components: np.ndarray,
+    mean: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> rd.Dataset:
+    """Project the vector column onto fitted components: the (k, d)
+    matrix is put in the object store ONCE and every batch is one
+    matmul — the broadcast-small-side pattern, no shuffle. Keeps all
+    other columns; output vectors are float32 lists of length k."""
+    import ray
+    comp_ref = ray.put(np.ascontiguousarray(components, np.float64))
+    mean_ref = ray.put(None if mean is None
+                       else np.asarray(mean, np.float64))
+
+    def project(t: pa.Table) -> pa.Table:
+        C = ray.get(comp_ref)
+        m = ray.get(mean_ref)
+        X = np.vstack(t[vec_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        if m is not None:
+            X = X - m
+        P = (X @ C.T).astype(np.float32)
+        out = t.drop_columns([vec_col])
+        return out.append_column(
+            out_col, pa.array(list(P), type=pa.list_(pa.float32())))
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -157,3 +157,22 @@ def test_pca_recovers_planted_axis():
     assert abs(top[3]) > 0.99           # planted axis recovered
     assert top[3] > 0                    # deterministic sign
     assert r["explained_ratio"][0] > 0.9
+
+
+def test_pca_transform_variance_matches_eigenvalues():
+    import numpy as np
+    import ray.data as rd
+    from graph_data_science_ray.functions.pca import (pca_components,
+                                                      pca_transform)
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    X = np.vstack(ds.to_pandas()["embedding"].to_numpy()).astype(
+        np.float64)
+    r = pca_components(ds, k=3)
+    proj = (pca_transform(ds, r["components"], mean=X.mean(axis=0))
+            .to_pandas())
+    P = np.vstack(proj["projected"].to_numpy()).astype(np.float64)
+    # per-axis variance of the projection == the eigenvalues
+    assert np.allclose(P.var(axis=0, ddof=1), r["eigenvalues"],
+                       rtol=1e-5)
+    assert "vec_id" in proj.columns and len(proj) == len(X)
