@@ -129,6 +129,8 @@ def __getattr__(name):
                            "pca_components"),
         "pca_transform": ("graph_data_science_ray.functions.pca",
                           "pca_transform"),
+        "broadcast_semi_join": ("graph_data_science_ray.functions.join",
+                                "broadcast_semi_join"),
     }
     if name in surface:
         import importlib

@@ -195,3 +195,26 @@ def to_arrow_sorted(ds: rd.Dataset, sort_cols: list[str]) -> pa.Table:
     return pa.Table.from_pandas(
         ds.to_pandas().sort_values(sort_cols).reset_index(drop=True),
         preserve_index=False)
+
+
+def broadcast_semi_join(
+    ds: rd.Dataset,
+    keys,
+    on: str,
+    anti: bool = False,
+) -> rd.Dataset:
+    """EXISTS / NOT EXISTS against a SMALL key collection: the keys go
+    to the object store once and every batch runs one vectorized
+    ``isin`` — zero shuffle, the streaming analogue of broadcast_join.
+    Use when the key set fits in a worker heap (dimension keys, the
+    bounded candidate sets of the dedup verify gate); otherwise
+    semi_join/anti_join."""
+    arr = np.asarray(sorted(set(keys)))
+    keys_ref = ray.put(arr)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        hit = df[on].isin(ks)
+        return df[~hit if anti else hit]
+
+    return ds.map_batches(keep, batch_format="pandas")

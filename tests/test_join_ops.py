@@ -139,3 +139,17 @@ def test_semi_join_preserves_63bit_ints():
                      left_cols=["fp"])
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert out["fp"].astype(np.int64).tolist() == [big[0], big[2]]
+
+
+def test_broadcast_semi_join_matches_isin():
+    from graph_data_science_ray.functions.join import broadcast_semi_join
+    facts = _facts()
+    keys = {0, 3, 7, 11, 38, 99}
+    semi = (broadcast_semi_join(_ds(facts), keys, on="k")
+            .to_pandas())
+    anti = (broadcast_semi_join(_ds(facts), keys, on="k", anti=True)
+            .to_pandas())
+    assert sorted(semi["x"]) == sorted(facts[facts["k"].isin(keys)]["x"])
+    assert sorted(anti["x"]) == \
+        sorted(facts[~facts["k"].isin(keys)]["x"])
+    assert len(semi) + len(anti) == len(facts)
